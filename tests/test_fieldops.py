@@ -1,0 +1,135 @@
+import random
+
+import numpy as np
+import pytest
+
+from ligero_tpu.engine.fieldops import FieldKernel
+from ligero_tpu.engine.ntt import DomainOps
+from ligero_tpu.fields import BN254_FR, BLS12_377_FQ
+
+
+@pytest.fixture
+def xp():
+    # numpy is the bit-exact host instantiation; the jax instantiation is
+    # exercised (jitted) in test_jax_kernels below and in the engine tests.
+    return np
+
+
+@pytest.mark.parametrize("field", [BN254_FR, BLS12_377_FQ], ids=lambda f: f.name)
+def test_mont_mul_add_sub(field, xp):
+    fk = FieldKernel(field, xp)
+    rng = random.Random(7)
+    n = 64
+    a_int = [rng.randrange(field.p) for _ in range(n)]
+    b_int = [rng.randrange(field.p) for _ in range(n)]
+    a = xp.asarray(field.ints_to_mont_limbs(a_int))
+    b = xp.asarray(field.ints_to_mont_limbs(b_int))
+
+    got_mul = field.mont_limbs_to_ints(np.asarray(fk.mont_mul(a, b)))
+    assert got_mul == [(x * y) % field.p for x, y in zip(a_int, b_int)]
+
+    got_add = field.mont_limbs_to_ints(np.asarray(fk.add(a, b)))
+    assert got_add == [(x + y) % field.p for x, y in zip(a_int, b_int)]
+
+    got_sub = field.mont_limbs_to_ints(np.asarray(fk.sub(a, b)))
+    assert got_sub == [(x - y) % field.p for x, y in zip(a_int, b_int)]
+
+    got_neg = field.mont_limbs_to_ints(np.asarray(fk.neg(a)))
+    assert got_neg == [(-x) % field.p for x in a_int]
+
+
+def test_mont_conversions(xp):
+    field = BN254_FR
+    fk = FieldKernel(field, xp)
+    rng = random.Random(3)
+    vals = [rng.randrange(field.p) for _ in range(16)] + [0, 1, field.p - 1]
+    canon = xp.asarray(field.ints_to_limbs(vals))
+    mont = fk.to_mont(canon)
+    assert field.limbs_to_ints(np.asarray(mont)) == [field.to_mont(v) for v in vals]
+    back = fk.from_mont(mont)
+    assert field.limbs_to_ints(np.asarray(back)) == vals
+
+
+def test_mont_pow_and_sum(xp):
+    field = BN254_FR
+    fk = FieldKernel(field, xp)
+    rng = random.Random(11)
+    vals = [rng.randrange(field.p) for _ in range(10)]
+    a = xp.asarray(field.ints_to_mont_limbs(vals))
+    e = 65537
+    got = field.mont_limbs_to_ints(np.asarray(fk.mont_pow(a, e)))
+    assert got == [pow(v, e, field.p) for v in vals]
+
+    s = fk.sum_mod(a, axis=0)
+    assert field.mont_limbs_to_ints(np.asarray(s)[None, :]) == [sum(vals) % field.p]
+
+
+@pytest.mark.parametrize("field", [BN254_FR, BLS12_377_FQ], ids=lambda f: f.name)
+@pytest.mark.parametrize("n", [4, 32])
+def test_ntt_matches_direct_dft(field, n, xp):
+    fk = FieldKernel(field, xp)
+    dom = DomainOps(fk, n)
+    rng = random.Random(n)
+    batch = 3
+    coeffs_int = [[rng.randrange(field.p) for _ in range(n)] for _ in range(batch)]
+    coeffs = xp.asarray(np.stack([field.ints_to_mont_limbs(c) for c in coeffs_int]))
+
+    evals = dom.fft(coeffs)
+    w = field.root_of_unity(n)
+    for b in range(batch):
+        got = field.mont_limbs_to_ints(np.asarray(evals)[b])
+        expect = [sum(c * pow(w, i * j, field.p) for j, c in enumerate(coeffs_int[b])) % field.p
+                  for i in range(n)]
+        assert got == expect
+
+    # ifft . fft = id
+    back = dom.ifft(evals)
+    for b in range(batch):
+        assert field.mont_limbs_to_ints(np.asarray(back)[b]) == coeffs_int[b]
+
+
+def test_fft_padded(xp):
+    field = BN254_FR
+    fk = FieldKernel(field, xp)
+    dom = DomainOps(fk, 8)
+    rng = random.Random(5)
+    short = [rng.randrange(field.p) for _ in range(3)]
+    coeffs = xp.asarray(field.ints_to_mont_limbs(short))[None, :, :]
+    evals = dom.fft_padded(coeffs)
+    w = field.root_of_unity(8)
+    got = field.mont_limbs_to_ints(np.asarray(evals)[0])
+    expect = [sum(c * pow(w, i * j, field.p) for j, c in enumerate(short)) % field.p
+              for i in range(8)]
+    assert got == expect
+
+
+def test_jax_kernels_match_numpy():
+    """The jitted JAX instantiation must agree with the numpy golden path."""
+    import jax
+    import jax.numpy as jnp
+
+    field = BN254_FR
+    fk_np = FieldKernel(field, np)
+    fk_jx = FieldKernel(field, jnp)
+    dom_np = DomainOps(fk_np, 8)
+    dom_jx = DomainOps(fk_jx, 8)
+
+    rng = random.Random(21)
+    a_int = [rng.randrange(field.p) for _ in range(8)]
+    b_int = [rng.randrange(field.p) for _ in range(8)]
+    a_np = field.ints_to_mont_limbs(a_int)
+    b_np = field.ints_to_mont_limbs(b_int)
+
+    @jax.jit
+    def composite(a, b):
+        prod = fk_jx.mont_mul(a, b)
+        s = fk_jx.add(prod, a)
+        evals = dom_jx.fft(s[None])
+        return dom_jx.ifft(evals)[0], fk_jx.from_mont(prod)
+
+    got_roundtrip, got_canon = composite(jnp.asarray(a_np), jnp.asarray(b_np))
+
+    prod_np = fk_np.mont_mul(a_np, b_np)
+    s_np = fk_np.add(prod_np, a_np)
+    assert np.array_equal(np.asarray(got_roundtrip), s_np)
+    assert np.array_equal(np.asarray(got_canon), fk_np.from_mont(prod_np))
