@@ -1,0 +1,157 @@
+"""circom R1CS ingestion: native ``.r1cs`` binary parser + witness loaders.
+
+The reference delegates this to ark-circom (wasmer-JIT'd witness wasm +
+r1cs parsing; /root/reference/src/reader.rs).  Here the ``.r1cs`` binary
+(iden3 spec) is parsed directly, and the constraint rows are normalised the
+way ark-relations' ``LinearCombination``/``to_matrices`` would emit them:
+
+* wire 0 is the constant one; wires ``[1, num_instance)`` are the public
+  outputs+inputs; the rest are private (column index == circom wire id);
+* terms within a row are sorted by wire id ascending, duplicate wires are
+  coefficient-summed, and zero coefficients are dropped (ark-relations
+  keeps LCs sorted/compact and ``make_row`` filters zeros).
+
+Witness loading supports circom's ``witness.json`` (decimal strings) and
+binary ``.wtns``.  Executing witness ``.wasm`` requires a WASM runtime,
+which this image does not ship; ``compute_witness_wasm`` raises with a
+clear message and tests rely on checked-in witness files or host
+evaluation, exactly like the reference tests do for prove/verify
+(/root/reference/src/ligero/tests.rs:375-389).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from dataclasses import dataclass, field as dc_field
+
+from ..fields import FieldSpec
+
+
+@dataclass
+class ConstraintSystem:
+    """Thin R1CS container (ark-relations ``ConstraintSystem`` analogue)."""
+
+    field: FieldSpec
+    num_instance: int   # includes the leading constant-one variable
+    num_witness: int
+    a: list[list[tuple[int, int]]] = dc_field(default_factory=list)
+    b: list[list[tuple[int, int]]] = dc_field(default_factory=list)
+    c: list[list[tuple[int, int]]] = dc_field(default_factory=list)
+
+    @property
+    def num_constraints(self) -> int:
+        return len(self.a)
+
+
+def _normalize_row(row: list[tuple[int, int]], p: int) -> list[tuple[int, int]]:
+    acc: dict[int, int] = {}
+    for coeff, wire in row:
+        acc[wire] = (acc.get(wire, 0) + coeff) % p
+    return [(c, w) for w, c in sorted(acc.items()) if c != 0]
+
+
+def parse_r1cs(path: str, field: FieldSpec) -> ConstraintSystem:
+    """Parse an iden3 ``.r1cs`` binary file."""
+    with open(path, "rb") as f:
+        data = f.read()
+
+    assert data[:4] == b"r1cs", "bad r1cs magic"
+    version, n_sections = struct.unpack_from("<II", data, 4)
+    assert version == 1
+
+    sections: dict[int, tuple[int, int]] = {}
+    off = 12
+    for _ in range(n_sections):
+        sec_type, = struct.unpack_from("<I", data, off)
+        size, = struct.unpack_from("<Q", data, off + 4)
+        sections[sec_type] = (off + 12, size)
+        off += 12 + size
+
+    # header
+    h_off, _ = sections[1]
+    fs, = struct.unpack_from("<I", data, h_off)
+    prime = int.from_bytes(data[h_off + 4:h_off + 4 + fs], "little")
+    assert prime == field.p, f"r1cs prime does not match field {field.name}"
+    o = h_off + 4 + fs
+    n_wires, n_pub_out, n_pub_in, _n_prv_in = struct.unpack_from("<IIII", data, o)
+    # n_labels: u64, n_constraints: u32
+    n_constraints, = struct.unpack_from("<I", data, o + 16 + 8)
+
+    num_instance = 1 + n_pub_out + n_pub_in
+    num_witness = n_wires - num_instance
+
+    # constraints
+    c_off, _ = sections[2]
+    pos = c_off
+    a_rows, b_rows, c_rows = [], [], []
+    for _ in range(n_constraints):
+        lcs = []
+        for _ in range(3):
+            n_terms, = struct.unpack_from("<I", data, pos)
+            pos += 4
+            terms = []
+            for _ in range(n_terms):
+                wire, = struct.unpack_from("<I", data, pos)
+                coeff = int.from_bytes(data[pos + 4:pos + 4 + fs], "little")
+                pos += 4 + fs
+                terms.append((coeff, wire))
+            lcs.append(_normalize_row(terms, field.p))
+        a_rows.append(lcs[0])
+        b_rows.append(lcs[1])
+        c_rows.append(lcs[2])
+
+    return ConstraintSystem(field, num_instance, num_witness, a_rows, b_rows, c_rows)
+
+
+def load_witness_json(path: str, field: FieldSpec) -> list[int]:
+    with open(path) as f:
+        values = json.load(f)
+    return [int(v) % field.p for v in values]
+
+
+def load_witness_wtns(path: str, field: FieldSpec) -> list[int]:
+    """Parse an iden3 binary ``.wtns`` witness file."""
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:4] == b"wtns", "bad wtns magic"
+    _version, n_sections = struct.unpack_from("<II", data, 4)
+    off = 12
+    out: list[int] = []
+    fs = None
+    for _ in range(n_sections):
+        sec_type, = struct.unpack_from("<I", data, off)
+        size, = struct.unpack_from("<Q", data, off + 4)
+        body = off + 12
+        if sec_type == 1:
+            fs, = struct.unpack_from("<I", data, body)
+            prime = int.from_bytes(data[body + 4:body + 4 + fs], "little")
+            assert prime == field.p, "wtns prime mismatch"
+        elif sec_type == 2:
+            assert fs is not None, "wtns data section before header"
+            n = size // fs
+            out = [int.from_bytes(data[body + i * fs:body + (i + 1) * fs], "little")
+                   for i in range(n)]
+        off += 12 + size
+    return out
+
+
+def compute_witness_wasm(wasm_path: str, inputs: dict, field: FieldSpec) -> list[int]:
+    """Run a circom witness ``.wasm``.  Requires a WASM runtime (wasmtime),
+    which is not available in this environment — load a ``.wtns`` /
+    ``witness.json`` produced offline instead."""
+    try:
+        import wasmtime  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "No WASM runtime available in this environment; use "
+            "load_witness_wtns/load_witness_json with a precomputed witness"
+        ) from e
+    raise NotImplementedError("wasmtime-based witness runner not yet implemented")
+
+
+def read_constraint_system(r1cs_path: str, field: FieldSpec) -> ConstraintSystem:
+    """Equivalent of the reference's ``read_constraint_system``
+    (/root/reference/src/reader.rs:6-19) minus the witness-wasm setup,
+    which is irrelevant for constraint extraction."""
+    return parse_r1cs(r1cs_path, field)

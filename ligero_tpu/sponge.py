@@ -192,3 +192,8 @@ class PoseidonSponge:
 def test_sponge(field: FieldSpec) -> PoseidonSponge:
     """``ark_poly_commit::test_sponge::<F>()``."""
     return PoseidonSponge(test_poseidon_config(field))
+
+
+# These are library functions named for ark parity, not pytest tests.
+test_sponge.__test__ = False
+test_poseidon_config.__test__ = False
