@@ -1,0 +1,148 @@
+"""Execution backend facade: bulk protocol math over limb arrays.
+
+One ``Backend`` instance binds a field to an array namespace:
+
+* ``Backend(field)`` — numpy host execution (bit-exact golden path);
+* ``Backend(field, use_jax=True)`` — jit-compiled XLA execution (TPU when
+  available).  Each distinct operation/shape compiles once and is cached.
+
+The protocol layer (ligero_tpu.ligero) only ever touches these methods;
+everything below them is the generic limb kernel code in fieldops/ntt.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..fields import FieldSpec
+from .fieldops import FieldKernel
+from .ntt import DomainOps
+
+
+class Backend:
+    def __init__(self, field: FieldSpec, use_jax: bool = False):
+        self.field = field
+        self.use_jax = use_jax
+        if use_jax:
+            import jax
+            import jax.numpy as jnp
+            self._jax = jax
+            self.xp = jnp
+        else:
+            self.xp = np
+        self.fk = FieldKernel(field, self.xp)
+        self._domains: dict[int, DomainOps] = {}
+        self._jit_cache: dict = {}
+
+    # ------------------------------------------------------------------
+    def domain(self, n: int) -> DomainOps:
+        if n not in self._domains:
+            self._domains[n] = DomainOps(self.fk, n)
+        return self._domains[n]
+
+    def _jit(self, key, fn):
+        if not self.use_jax:
+            return fn
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._jax.jit(fn)
+        return self._jit_cache[key]
+
+    def asarray(self, a: np.ndarray):
+        return self.xp.asarray(a)
+
+    def to_numpy(self, a) -> np.ndarray:
+        return np.asarray(a)
+
+    # ------------------------------------------------------------------
+    # protocol building blocks
+    # ------------------------------------------------------------------
+    def rs_encode_rows(self, preenc, k: int, n: int):
+        """(B, k, L) message rows -> (coeffs (B,k,L), evals (B,n,L)).
+
+        Equivalent to the reference's per-row ifft_k + fft_n
+        (/root/reference/src/ligero/mod.rs:998-1012), batched.
+        """
+        dom_k, dom_n = self.domain(k), self.domain(n)
+
+        def run(x):
+            coeffs = dom_k.ifft(x)
+            evals = dom_n.fft_padded(coeffs)
+            return coeffs, evals
+
+        return self._jit(("rs", k, n, preenc.shape), run)(self.asarray(preenc))
+
+    def ntt(self, coeffs, n: int):
+        dom = self.domain(n)
+        return self._jit(("fft", n, coeffs.shape), dom.fft_padded)(self.asarray(coeffs))
+
+    def intt(self, evals, n: int):
+        dom = self.domain(n)
+        return self._jit(("ifft", n, evals.shape), dom.ifft)(self.asarray(evals))
+
+    def from_mont(self, a):
+        return self._jit(("from_mont", a.shape), self.fk.from_mont)(self.asarray(a))
+
+    def to_mont(self, a):
+        return self._jit(("to_mont", a.shape), self.fk.to_mont)(self.asarray(a))
+
+    def row_combine(self, r, mat):
+        """r^T · M for r (B, L), M (B, k, L) -> (k, L); all Montgomery."""
+
+        def run(r_, m_):
+            prod = self.fk.mont_mul(r_[:, None, :], m_)
+            return self.fk.sum_mod(prod, axis=0)
+
+        return self._jit(("rowcomb", r.shape, mat.shape), run)(
+            self.asarray(r), self.asarray(mat))
+
+    def linear_combination_poly(self, u_coeffs, r_coeffs, two_k: int):
+        """q = sum_i r_i(X) * u_i(X) via pointwise products on the 2k domain.
+
+        Returns the 2k coefficient rows of q (Montgomery).  Matches the
+        reference's poly-mul + sum (/root/reference/src/ligero/mod.rs:731-736)
+        — deg q <= 2k-2 so the 2k-point cyclic convolution is exact.
+        """
+        dom = self.domain(two_k)
+
+        def run(u, r):
+            eu = dom.fft_padded(u)
+            er = dom.fft_padded(r)
+            prod = self.fk.mont_mul(eu, er)
+            total = self.fk.sum_mod(prod, axis=0)
+            return dom.ifft(total[None])[0]
+
+        return self._jit(("linq", two_k, u_coeffs.shape), run)(
+            self.asarray(u_coeffs), self.asarray(r_coeffs))
+
+    def quadratic_combination_poly(self, xyz_coeffs, r_quad, two_k: int):
+        """p0 = sum_i r_i * (px_i * py_i - pz_i) on the 2k domain.
+
+        ``xyz_coeffs`` is (3m, k, L); matches reference mod.rs:845-848.
+        """
+        dom = self.domain(two_k)
+
+        def run(xyz, r):
+            m = xyz.shape[0] // 3
+            ev = dom.fft_padded(xyz)
+            ex, ey, ez = ev[:m], ev[m:2 * m], ev[2 * m:]
+            term = self.fk.sub(self.fk.mont_mul(ex, ey), ez)
+            weighted = self.fk.mont_mul(r[:, None, :], term)
+            total = self.fk.sum_mod(weighted, axis=0)
+            return dom.ifft(total[None])[0]
+
+        return self._jit(("quadp", two_k, xyz_coeffs.shape), run)(
+            self.asarray(xyz_coeffs), self.asarray(r_quad))
+
+    # ------------------------------------------------------------------
+    # host <-> device value conversion helpers
+    # ------------------------------------------------------------------
+    def ints_to_mont(self, ints: list[int]) -> np.ndarray:
+        return self.field.ints_to_mont_limbs(ints)
+
+    def mont_to_ints(self, limbs) -> list[int]:
+        return self.field.mont_limbs_to_ints(self.to_numpy(limbs))
+
+    def canon_limbs_to_ints(self, limbs) -> list[int]:
+        return self.field.limbs_to_ints(self.to_numpy(limbs))

@@ -1,0 +1,470 @@
+"""The Ligero SNARK: circuit compilation, prover and verifier.
+
+Functional equivalent of /root/reference/src/ligero/mod.rs, restructured
+for a host-orchestrated / device-bulk execution model:
+
+* host (Python ints): circuit normalisation, sparse constraint matrix A,
+  Fiat–Shamir transcript (Poseidon sponge), Merkle path logic, the
+  verifier's scalar spot checks;
+* device (limb arrays through ``Backend``): batched Reed–Solomon encoding
+  (iNTT_k + NTT_n over all 4m rows at once), Montgomery<->canonical
+  conversion, challenge-weighted row combinations, and the 2k-domain
+  polynomial products for the linear/quadratic tests.
+
+The Fiat–Shamir transcript order is the bit-exactness contract
+(SURVEY.md §4); every absorb/squeeze below is annotated with the
+reference's prover/verifier call sites.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..circuit.arithmetic import ADD, CONST, MUL, VAR, ArithmeticCircuit
+from ..engine.backend import Backend
+from ..fields import FieldSpec
+from ..hashes import column_hash
+from ..matrices import SparseMatrix
+from ..merkle import create_merkle_tree
+from ..sampling import get_distinct_indices_from_prng, rand_field_elements_limbs
+from .proof import (
+    InterleavedProof,
+    LigeroProof,
+    LinearConstraintsProof,
+    QuadraticConstraintsProof,
+)
+
+DEFAULT_SECURITY_LEVEL = 128  # reference src/lib.rs:8
+CHACHA_SEED_BYTES = 32        # reference src/lib.rs:9
+
+
+def calculate_t(field: FieldSpec, sec_param: int, distance: tuple[int, int],
+                codeword_len: int) -> int:
+    """Number of column openings (ark-poly-commit ``calculate_t``).
+
+    Smallest t with (1-d)^t + (rho+d)^t + n/|F| <= 2^-lambda, with
+    d = (1-rho)/2; float evaluation order mirrors the pinned Rust source
+    (HungryCatsStudio/poly-commit branch release-0.5; MUST-VERIFY item
+    SURVEY.md §10.6).  Called from reference mod.rs:283-294.
+    """
+    field_bits = field.modulus_bit_size
+    residual = codeword_len / (2.0 ** field_bits)
+    arg = 2.0 ** (-sec_param) - residual
+    if arg <= 0.0 or not math.isfinite(arg):
+        raise ValueError("field too small for the requested security level")
+    rhs = math.log2(arg)
+    nom = rhs - 1.0
+    denom_arg = 1.0 - 0.5 * distance[0] / distance[1]
+    if denom_arg <= 0.0:
+        raise ValueError("invalid distance")
+    denom = math.log2(denom_arg)
+    t = math.ceil(nom / denom)
+    return t if t < codeword_len else codeword_len
+
+
+def _trim(coeffs: list[int]) -> list[int]:
+    """ark DensePolynomial invariant: no trailing zero coefficients."""
+    end = len(coeffs)
+    while end > 0 and coeffs[end - 1] == 0:
+        end -= 1
+    return coeffs[:end]
+
+
+def _poly_degree(coeffs: list[int]) -> int:
+    return max(len(coeffs) - 1, 0)
+
+
+def _horner(coeffs: list[int], x: int, p: int) -> int:
+    acc = 0
+    for c in reversed(coeffs):
+        acc = (acc * x + c) % p
+    return acc
+
+
+class LigeroCircuit:
+    """Compiled Ligero instance for one arithmetic circuit.
+
+    Mirrors ``LigeroCircuit::new`` (reference mod.rs:147-228): normalises
+    the circuit so node 0 is the constant 1, computes the matrix dimensions
+    (m, k), the Reed–Solomon parameters (n = 8k, t), and the constraint
+    matrix A = [[I | -(P_x; P_y; P_z)], [0 | P_add]].
+    """
+
+    def __init__(self, circuit: ArithmeticCircuit, outputs: list[int],
+                 lambda_: int = DEFAULT_SECURITY_LEVEL,
+                 backend: Backend | None = None):
+        field = circuit.field
+        self.field = field
+        self.backend = backend or Backend(field)
+
+        one_index = circuit.constants.get(1)
+        if one_index is not None:
+            self.one_index, self.one_found = one_index, True
+        else:
+            self.one_index, self.one_found = 1, False
+
+        circuit = self._clone_circuit(circuit)
+        if self.one_index != 0:
+            self._insert_one(circuit)
+        self.circuit = circuit
+
+        sol_vec_length = (1 + circuit.num_nodes() - circuit.num_constants()
+                          + len(outputs))
+        self.m, self.k = self._compute_dimensions(sol_vec_length)
+        self.n, self.t = self._reed_solomon_parameters(self.m, self.k, lambda_)
+
+        # original index -> constant-filtered index
+        index_map = {0: 0}
+        seen_constants = 0
+        for i, node in enumerate(circuit.nodes[1:], start=1):
+            if node[0] == CONST:
+                seen_constants += 1
+            else:
+                index_map[i] = i - seen_constants
+        self.index_map = index_map
+
+        self.outputs = [self._bump_index(i) for i in outputs]
+        self.a = self._generate_matrices(circuit, self.outputs,
+                                         self.m * self.k, index_map)
+
+        if (self.n.bit_length() - 1) > field.two_adicity:
+            raise ValueError(f"field cannot accommodate FFT of size {self.n}")
+        # host-side domain generators for verifier spot checks
+        self._omega_n = field.root_of_unity(self.n)
+
+    # ------------------------------------------------------------------
+    # construction helpers (reference mod.rs:230-294)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _clone_circuit(c: ArithmeticCircuit) -> ArithmeticCircuit:
+        clone = ArithmeticCircuit(c.field)
+        clone.nodes = list(c.nodes)
+        clone.constants = dict(c.constants)
+        clone.variables = dict(c.variables)
+        return clone
+
+    def _bump_index(self, index: int) -> int:
+        if self.one_found:
+            if index < self.one_index:
+                return index + 1
+            if index == self.one_index:
+                return 0
+            return index
+        return index + 1
+
+    def _insert_one(self, circuit: ArithmeticCircuit) -> None:
+        if self.one_found:
+            circuit.nodes.pop(self.one_index)
+        circuit.nodes.insert(0, (CONST, 1))
+        bump = self._bump_index
+        circuit.nodes = [
+            (n[0], bump(n[1]), bump(n[2])) if n[0] in (ADD, MUL) else n
+            for n in circuit.nodes]
+        circuit.constants = {v: bump(i) for v, i in circuit.constants.items()}
+        circuit.constants[1] = 0
+        circuit.variables = {s: bump(i) for s, i in circuit.variables.items()}
+
+    @staticmethod
+    def _compute_dimensions(sol_vec_length: int) -> tuple[int, int]:
+        m = math.ceil(math.sqrt(sol_vec_length))
+        k = 1 if m <= 1 else 1 << (m - 1).bit_length()
+        return m, k
+
+    def _reed_solomon_parameters(self, m: int, k: int, lambda_: int) -> tuple[int, int]:
+        n = 8 * k
+        return n, calculate_t(self.field, lambda_, (n - k + 1, n), n)
+
+    def _generate_matrices(self, circuit, outputs, num_cols, index_map) -> SparseMatrix:
+        field = self.field
+        p = field.p
+        p_x = SparseMatrix(field, num_cols)
+        p_y = SparseMatrix(field, num_cols)
+        p_z = SparseMatrix(field, num_cols)
+        p_add = SparseMatrix(field, num_cols)
+        nodes = circuit.nodes
+
+        def operand_rows(l_node: int, r_node: int):
+            """(x_row, y_row) for a Mul, or the first two Add terms."""
+            if nodes[l_node][0] == CONST:
+                return [(nodes[l_node][1], 0)], [(1, index_map[r_node])]
+            if nodes[r_node][0] == CONST:
+                return [(1, index_map[l_node])], [(nodes[r_node][1], 0)]
+            return [(1, index_map[l_node])], [(1, index_map[r_node])]
+
+        for i, node in enumerate(nodes):
+            kind = node[0]
+            if kind == VAR:
+                p_x.push_empty_row(); p_y.push_empty_row()
+                p_z.push_empty_row(); p_add.push_empty_row()
+            elif kind == ADD:
+                p_x.push_empty_row(); p_y.push_empty_row(); p_z.push_empty_row()
+                left, right = operand_rows(node[1], node[2])
+                row = left + right + [((-1) % p, index_map[i])]
+                p_add.push_row(row)
+            elif kind == MUL:
+                p_add.push_empty_row()
+                xr, yr = operand_rows(node[1], node[2])
+                p_x.push_row(xr)
+                p_y.push_row(yr)
+                p_z.push_row([(1, index_map[i])])
+            else:  # constant: only node 0 contributes rows
+                if i == 0:
+                    p_x.push_empty_row(); p_y.push_empty_row()
+                    p_z.push_empty_row(); p_add.push_empty_row()
+
+        # output nodes: extra row constraining output == 1 (mod.rs:370-414)
+        for out in outputs:
+            node = nodes[out]
+            kind = node[0]
+            if kind == ADD:
+                p_x.push_empty_row(); p_y.push_empty_row(); p_z.push_empty_row()
+                left, right = operand_rows(node[1], node[2])
+                p_add.push_row(left + right + [((-1) % p, 0)])
+            elif kind == MUL:
+                p_add.push_empty_row()
+                xr, yr = operand_rows(node[1], node[2])
+                p_x.push_row(xr)
+                p_y.push_row(yr)
+                p_z.push_row([(1, 0)])
+            else:
+                raise ValueError("output node must be an Add or Mul gate")
+
+        padding = num_cols - p_x.num_rows()
+        p_x.push_empty_rows(padding)
+        p_y.push_empty_rows(padding)
+        p_z.push_empty_rows(padding)
+        p_add.push_empty_rows(padding)
+
+        upper_right = -(p_x.v_stack(p_y).v_stack(p_z))
+        upper = SparseMatrix.identity(field, 3 * num_cols).h_stack(upper_right)
+        lower = SparseMatrix.zero(field, num_cols, 3 * num_cols).h_stack(p_add)
+        return upper.v_stack(lower)
+
+    # ------------------------------------------------------------------
+    # prover (reference mod.rs:435-611)
+    # ------------------------------------------------------------------
+    def prove(self, var_assignment: list[tuple[int, int]], sponge) -> LigeroProof:
+        bumped = [(self._bump_index(i), v) for i, v in var_assignment]
+        return self._prove_inner(bumped, sponge)
+
+    def prove_with_labels(self, var_assignment: list[tuple[str, int]], sponge) -> LigeroProof:
+        indexed = [(self.circuit.variables[lbl], v) for lbl, v in var_assignment]
+        return self._prove_inner(indexed, sponge)
+
+    def _solution_vectors(self, var_assignment):
+        trace = self.circuit.evaluation_trace_multioutput(var_assignment, self.outputs)
+        if any(v is None for v in trace):
+            raise ValueError(
+                "Uninitialised node: the circuit must only contain nodes the "
+                "outputs depend on")
+        x, y, z, w = [], [], [], []
+        for i, (val, node) in enumerate(zip(trace, self.circuit.nodes)):
+            if node[0] == CONST and i != 0:
+                continue
+            w.append(val)
+            if node[0] == MUL:
+                x.append(trace[node[1]])
+                y.append(trace[node[2]])
+                z.append(val)
+            else:
+                x.append(0); y.append(0); z.append(0)
+        mk = self.m * self.k
+        for vec in (x, y, z, w):
+            vec.extend([0] * (mk - len(vec)))
+        return x, y, z, w
+
+    def _prove_inner(self, var_assignment, sponge) -> LigeroProof:
+        be = self.backend
+        m, k, n = self.m, self.k, self.n
+
+        x, y, z, w = self._solution_vectors(var_assignment)
+        preenc_ints = x + y + z + w  # 4m rows of k
+        preenc = be.ints_to_mont(preenc_ints).reshape(4 * m, k, -1)
+
+        # Reed–Solomon encode all rows; commit to columns of U
+        u_coeffs, u_evals = be.rs_encode_rows(preenc, k, n)
+        u_canon = be.to_numpy(be.from_mont(u_evals))  # (4m, n, L) canonical
+
+        leaves = self._column_leaves(u_canon)
+        tree = create_merkle_tree(leaves)
+        u_root = tree.root
+
+        sponge.absorb_bytes(u_root)  # FS #1 (mod.rs:560 / :634)
+
+        interleaved = self._prove_interleaved(preenc, u_canon, tree, sponge)
+        linear = self._prove_linear(u_coeffs, u_canon, tree, sponge)
+        quadratic = self._prove_quadratic(u_coeffs, u_canon, tree, sponge)
+
+        return LigeroProof(u_root, interleaved, linear, quadratic)
+
+    def _column_leaves(self, u_canon: np.ndarray) -> list[bytes]:
+        """Blake2s leaf digests for every column of U (canonical limbs)."""
+        four_m, n, L = u_canon.shape
+        # (n, 4m * 2L) little-endian u16 view: column-major serialization
+        cols = np.ascontiguousarray(u_canon.transpose(1, 0, 2).astype("<u2"))
+        payload = cols.reshape(n, -1).tobytes()
+        stride = four_m * L * 2
+        prefix = four_m.to_bytes(8, "little")
+        import hashlib
+        return [hashlib.blake2s(prefix + payload[i * stride:(i + 1) * stride]).digest()
+                for i in range(n)]
+
+    def _expand_field(self, count: int, seed: bytes) -> np.ndarray:
+        return rand_field_elements_limbs(self.field, count, seed)
+
+    def _prove_interleaved(self, preenc, u_canon, tree, sponge) -> InterleavedProof:
+        be = self.backend
+        seed_r = sponge.squeeze_bytes(CHACHA_SEED_BYTES)       # FS #2
+        r = self._expand_field(4 * self.m, seed_r)
+        preenc_u_lc = be.mont_to_ints(be.row_combine(r, preenc))
+        sponge.absorb_field_elems(preenc_u_lc)                 # FS #3
+        columns, paths = self._open_columns(u_canon, tree, sponge)  # FS #4
+        return InterleavedProof(preenc_u_lc, columns, paths)
+
+    def _r_a_coeff_rows(self, seed: bytes) -> np.ndarray:
+        """r_linear -> r^T A, chunked into 4m rows of k, iNTT'd (Montgomery).
+
+        The sparse product runs on the host over Montgomery integers (the
+        map v -> v*R is linear, so Montgomery form passes through r^T A).
+        """
+        be = self.backend
+        r_linear = self._expand_field(4 * self.m * self.k, seed)
+        r_mont_ints = self.field.limbs_to_ints(r_linear)  # raw = Montgomery
+        r_a = self.a.row_mul(r_mont_ints)                 # Montgomery ints
+        r_a_limbs = self.field.ints_to_limbs(r_a).reshape(4 * self.m, self.k, -1)
+        return be.intt(r_a_limbs, self.k)
+
+    def _prove_linear(self, u_coeffs, u_canon, tree, sponge) -> LinearConstraintsProof:
+        be = self.backend
+        seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)         # FS #5
+        r_coeffs = self._r_a_coeff_rows(seed)
+        q_mont = be.linear_combination_poly(u_coeffs, r_coeffs, 2 * self.k)
+        q = _trim(be.canon_limbs_to_ints(be.from_mont(q_mont)))
+        sponge.absorb_field_elems(q)                           # FS #6
+        columns, paths = self._open_columns(u_canon, tree, sponge)  # FS #7
+        return LinearConstraintsProof(q, columns, paths)
+
+    def _prove_quadratic(self, u_coeffs, u_canon, tree, sponge) -> QuadraticConstraintsProof:
+        be = self.backend
+        seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)         # FS #8
+        r_quad = self._expand_field(self.m, seed)
+        xyz = be.to_numpy(u_coeffs)[:3 * self.m]
+        p0_mont = be.quadratic_combination_poly(xyz, be.asarray(r_quad), 2 * self.k)
+        p0 = _trim(be.canon_limbs_to_ints(be.from_mont(p0_mont)))
+        sponge.absorb_field_elems(p0)                          # FS #9
+        columns, paths = self._open_columns(u_canon, tree, sponge)  # FS #10
+        return QuadraticConstraintsProof(p0, columns, paths)
+
+    def _open_columns(self, u_canon, tree, sponge):
+        seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)
+        indices = get_distinct_indices_from_prng(self.n, self.t, seed)
+        columns = [self.field.limbs_to_ints(u_canon[:, j, :]) for j in indices]
+        paths = [tree.generate_proof(j) for j in indices]
+        return columns, paths
+
+    # ------------------------------------------------------------------
+    # verifier (reference mod.rs:613-996)
+    # ------------------------------------------------------------------
+    def verify(self, proof: LigeroProof, sponge) -> bool:
+        sponge.absorb_bytes(proof.u_root)  # FS #1
+        return (self._verify_interleaved(proof.interleaved, proof.u_root, sponge)
+                and self._verify_linear(proof.linear, proof.u_root, sponge)
+                and self._verify_quadratic(proof.quadratic, proof.u_root, sponge))
+
+    def _verify_column_openings(self, columns, paths, u_root, sponge) -> bool:
+        seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)
+        indices = get_distinct_indices_from_prng(self.n, self.t, seed)
+        if len(columns) != len(indices) or len(paths) != len(indices):
+            return False
+        for col, idx, path in zip(columns, indices, paths):
+            leaf = column_hash(self.field, col)
+            if path.leaf_index != idx or not path.verify(u_root, leaf):
+                return False
+        return True
+
+    def _verify_interleaved(self, proof: InterleavedProof, u_root, sponge) -> bool:
+        be, p = self.backend, self.field.p
+        seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)         # FS #2
+        r_limbs = self._expand_field(4 * self.m, seed)
+        r = self.field.mont_limbs_to_ints(r_limbs)
+        sponge.absorb_field_elems(proof.preenc_u_lc)           # FS #3
+        if not self._verify_column_openings(proof.columns, proof.paths,
+                                            u_root, sponge):   # FS #4
+            return False
+        # w = RS(preenc_u_lc); spot check w[j] == <r, U[:, j]>
+        lc = be.ints_to_mont(proof.preenc_u_lc).reshape(1, self.k, -1)
+        _, w_evals = be.rs_encode_rows(lc, self.k, self.n)
+        w = be.mont_to_ints(be.to_numpy(w_evals)[0])
+        for path, col in zip(proof.paths, proof.columns):
+            rhs = sum(ri * ci for ri, ci in zip(r, col)) % p
+            if w[path.leaf_index] != rhs:
+                return False
+        return True
+
+    def _verify_linear(self, proof: LinearConstraintsProof, u_root, sponge) -> bool:
+        be, p, k = self.backend, self.field.p, self.k
+        seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)         # FS #5
+        r_coeffs = self._r_a_coeff_rows(seed)
+
+        if _poly_degree(proof.polynomial) >= 2 * k - 1:
+            return False
+        q_limbs = be.ints_to_mont(proof.polynomial + [0] * (2 * k - len(proof.polynomial)))
+        inter_evals = be.mont_to_ints(be.ntt(q_limbs.reshape(1, 2 * k, -1), 2 * k)[0])
+        # sum over the small domain == 0 (even indices of the 2k domain)
+        if sum(inter_evals[0::2]) % p != 0:
+            return False
+
+        sponge.absorb_field_elems(proof.polynomial)            # FS #6
+        if not self._verify_column_openings(proof.columns, proof.paths,
+                                            u_root, sponge):   # FS #7
+            return False
+
+        cofactor = self.n // (2 * k)
+        # full RS encodings of all 4m r_i polynomials (faithful to the
+        # reference's "wasteful" strategy, mod.rs:815-819)
+        r_evals = be.ntt(r_coeffs, self.n)
+        r_evals_host = be.to_numpy(r_evals)
+
+        for path, col in zip(proof.paths, proof.columns):
+            j = path.leaf_index
+            if j % cofactor == 0:
+                q_j = inter_evals[j // cofactor]
+            else:
+                q_j = _horner(proof.polynomial, pow(self._omega_n, j, p), p)
+            col_r = self.field.mont_limbs_to_ints(r_evals_host[:, j, :])
+            lhs = sum(ri * ci for ri, ci in zip(col_r, col)) % p
+            if lhs != q_j:
+                return False
+        return True
+
+    def _verify_quadratic(self, proof: QuadraticConstraintsProof, u_root, sponge) -> bool:
+        be, p, k, m = self.backend, self.field.p, self.k, self.m
+        seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)         # FS #8
+        r_quad = self.field.mont_limbs_to_ints(self._expand_field(m, seed))
+
+        if _poly_degree(proof.polynomial) >= 2 * k - 1:
+            return False
+        p0_limbs = be.ints_to_mont(proof.polynomial + [0] * (2 * k - len(proof.polynomial)))
+        inter_evals = be.mont_to_ints(be.ntt(p0_limbs.reshape(1, 2 * k, -1), 2 * k)[0])
+        if any(inter_evals[2 * c] != 0 for c in range(k)):
+            return False
+
+        cofactor = self.n // (2 * k)
+        sponge.absorb_field_elems(proof.polynomial)            # FS #9
+        if not self._verify_column_openings(proof.columns, proof.paths,
+                                            u_root, sponge):   # FS #10
+            return False
+
+        for path, col in zip(proof.paths, proof.columns):
+            j = path.leaf_index
+            if j % cofactor == 0:
+                lhs = inter_evals[j // cofactor]
+            else:
+                lhs = _horner(proof.polynomial, pow(self._omega_n, j, p), p)
+            rhs = sum(r_i * (col[i] * col[i + m] - col[i + 2 * m])
+                      for i, r_i in enumerate(r_quad)) % p
+            if lhs != rhs:
+                return False
+        return True

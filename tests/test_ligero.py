@@ -1,0 +1,232 @@
+"""End-to-end Ligero tests mirroring /root/reference/src/ligero/tests.rs."""
+
+import os
+
+import pytest
+
+from fixtures import (
+    REFERENCE_CIRCOM,
+    generate_3_by_3_determinant_circuit,
+    generate_3_by_3_determinant_expression,
+    generate_bls12_377_circuit,
+    generate_bls12_377_expression,
+    generate_lemniscate_circuit,
+    generate_lemniscate_expression,
+)
+from test_circuit import bls_point
+
+from ligero_tpu.circuit import ArithmeticCircuit
+from ligero_tpu.circuit.r1cs import load_witness_json, parse_r1cs
+from ligero_tpu.fields import BLS12_377_FQ, BN254_FR
+from ligero_tpu.ligero import LigeroCircuit, LigeroProof, calculate_t
+from ligero_tpu.ligero.core import DEFAULT_SECURITY_LEVEL
+from ligero_tpu.matrices import SparseMatrix
+from ligero_tpu.sponge import test_sponge
+
+needs_circom = pytest.mark.skipif(not os.path.isdir(REFERENCE_CIRCOM),
+                                  reason="reference circom fixtures not mounted")
+
+
+# ---------------------------------------------------------------------------
+# parameters
+# ---------------------------------------------------------------------------
+
+def test_calculate_t_small_saturates():
+    # n=32, k=4: t formula gives 149 -> min'd with codeword length 32
+    assert calculate_t(BN254_FR, 128, (29, 32), 32) == 32
+
+
+def test_calculate_t_poseidon_config():
+    # n=1024, k=128 (the poseidon fixture): ceil(-129/log2(1 - 0.5*897/1024))
+    t = calculate_t(BN254_FR, 128, (897, 1024), 1024)
+    assert t == 156
+
+
+def test_dimensions():
+    # golden numbers from SURVEY.md §9.1
+    assert LigeroCircuit._compute_dimensions(11) == (4, 4)
+    assert LigeroCircuit._compute_dimensions(15) == (4, 4)
+    assert LigeroCircuit._compute_dimensions(7274) == (86, 128)
+
+
+# ---------------------------------------------------------------------------
+# constraint-matrix construction golden (reference tests.rs:36-142)
+# ---------------------------------------------------------------------------
+
+def test_construction_bls12_377():
+    Fq = BLS12_377_FQ
+    one, neg = 1, Fq.p - 1
+    circuit = generate_bls12_377_circuit()
+    output_node = circuit.last()
+    m, k = 4, 4
+
+    p_x = SparseMatrix.from_rows(Fq, (
+        [[]] * 3 + [[(one, 2)], [(neg, 0)], [(one, 1)], [(one, 5)]] + [[]] * 9
+    ), m * k)
+    p_y = SparseMatrix.from_rows(Fq, (
+        [[]] * 3 + [[(one, 2)], [(one, 3)], [(one, 1)], [(one, 1)]] + [[]] * 9
+    ), m * k)
+    p_z = SparseMatrix.from_rows(Fq, (
+        [[]] * 3 + [[(one, 3)], [(one, 4)], [(one, 5)], [(one, 6)]] + [[]] * 9
+    ), m * k)
+    p_add = SparseMatrix.from_rows(Fq, (
+        [[]] * 7
+        + [[(one, 6), (one, 0), (neg, 7)],
+           [(one, 7), (one, 4), (neg, 8)],
+           [(one, 8), (one, 0), (neg, 9)],
+           [(one, 8), (one, 0), (neg, 0)]]
+        + [[]] * 5
+    ), m * k)
+
+    p_column = -(p_x.v_stack(p_y.v_stack(p_z)))
+    a_upper = SparseMatrix.identity(Fq, 3 * m * k).h_stack(p_column)
+    a_lower = SparseMatrix.zero(Fq, m * k, 3 * m * k).h_stack(p_add)
+    expected = a_upper.v_stack(a_lower)
+
+    ligero = LigeroCircuit(circuit, [output_node], DEFAULT_SECURITY_LEVEL)
+    assert ligero.m == m and ligero.k == k and ligero.n == 32
+    assert ligero.a == expected
+
+
+def test_multioutput_construction_and_prove():
+    # reference tests.rs:246-362
+    F = BN254_FR
+    c = ArithmeticCircuit(F)
+    x = c.new_variable_with_label("x")
+    y = c.new_variable_with_label("y")
+    c1 = c.constant(-9 + 1)
+    c2 = c.constant(-64 + 1)
+    c3 = c.constant(-7 + 1)
+    x2 = c.mul(x, x)
+    y3 = c.pow(y, 3)
+    s = c.add(x, y)
+    o1 = c.add(x2, c1)
+    o2 = c.add(y3, c2)
+    o3 = c.add(s, c3)
+
+    ligero = LigeroCircuit(c, [o1, o2, o3], DEFAULT_SECURITY_LEVEL)
+    m, k = ligero.m, ligero.k
+    assert (m, k) == (4, 4)
+
+    one, neg = 1, F.p - 1
+    mk = 16
+    p_x = SparseMatrix.from_rows(F, (
+        [[]] * 3 + [[(one, 1)], [(one, 2)], [(one, 4)]] + [[]] * 4 + [[]] * 6
+    ), mk)
+    p_y = SparseMatrix.from_rows(F, (
+        [[]] * 3 + [[(one, 1)], [(one, 2)], [(one, 2)]] + [[]] * 4 + [[]] * 6
+    ), mk)
+    p_z = SparseMatrix.from_rows(F, (
+        [[]] * 3 + [[(one, 3)], [(one, 4)], [(one, 5)]] + [[]] * 4 + [[]] * 6
+    ), mk)
+    m8, m63, m6 = (-8) % F.p, (-63) % F.p, (-6) % F.p
+    p_add = SparseMatrix.from_rows(F, (
+        [[]] * 6
+        + [[(one, 1), (one, 2), (neg, 6)],
+           [(one, 3), (m8, 0), (neg, 7)],
+           [(one, 5), (m63, 0), (neg, 8)],
+           [(one, 6), (m6, 0), (neg, 9)],
+           [(one, 3), (m8, 0), (neg, 0)],
+           [(one, 5), (m63, 0), (neg, 0)],
+           [(one, 6), (m6, 0), (neg, 0)]]
+        + [[]] * 3
+    ), mk)
+
+    p_column = -(p_x.v_stack(p_y.v_stack(p_z)))
+    a_upper = SparseMatrix.identity(F, 3 * mk).h_stack(p_column)
+    a_lower = SparseMatrix.zero(F, mk, 3 * mk).h_stack(p_add)
+    assert ligero.a == a_upper.v_stack(a_lower)
+
+    sponge = test_sponge(F)
+    proof = ligero.prove_with_labels([("x", 3), ("y", 4)], sponge.clone())
+    assert ligero.verify(proof, sponge.clone())
+
+
+# ---------------------------------------------------------------------------
+# end-to-end prove/verify with tamper-negative (reference tests.rs:144-243)
+# ---------------------------------------------------------------------------
+
+def proof_and_verify(circuit, vars_):
+    ligero = LigeroCircuit(circuit, [circuit.last()], DEFAULT_SECURITY_LEVEL)
+    sponge = test_sponge(circuit.field)
+    proof = ligero.prove(vars_, sponge.clone())
+    return ligero.verify(proof, sponge.clone())
+
+
+def check_proof_and_verify(circuit_factory, vars_):
+    invalid = list(vars_)
+    invalid[0] = (invalid[0][0], (invalid[0][1] + 1) % circuit_factory().field.p)
+    assert proof_and_verify(circuit_factory(), vars_)
+    assert not proof_and_verify(circuit_factory(), invalid)
+
+
+def test_prove_and_verify_bls12_377():
+    x, y = bls_point()
+    check_proof_and_verify(generate_bls12_377_circuit, [(1, x), (2, y)])
+
+
+def test_prove_and_verify_bls12_377_expression():
+    x, y = bls_point()
+    circuit = generate_bls12_377_expression().to_arithmetic_circuit()
+    vars_ = [(circuit.get_variable("x"), x), (circuit.get_variable("y"), y)]
+    factory = lambda: generate_bls12_377_expression().to_arithmetic_circuit()
+    check_proof_and_verify(factory, vars_)
+
+
+def test_prove_and_verify_lemniscate():
+    check_proof_and_verify(generate_lemniscate_circuit, [(1, 8), (2, 4)])
+    circuit = generate_lemniscate_expression().to_arithmetic_circuit()
+    vars_ = [(circuit.get_variable("x"), 8), (circuit.get_variable("y"), 4)]
+    factory = lambda: generate_lemniscate_expression().to_arithmetic_circuit()
+    check_proof_and_verify(factory, vars_)
+
+
+def test_prove_and_verify_determinant():
+    F = BN254_FR
+    values = [(1, 2), (2, 0), (3, (-1) % F.p), (4, 3), (5, 5), (6, 2),
+              (7, (-4) % F.p), (8, 1), (9, 4)]
+    det = [(10, 13)]
+    check_proof_and_verify(generate_3_by_3_determinant_circuit, values + det)
+
+    circuit = generate_3_by_3_determinant_expression().to_arithmetic_circuit()
+    labeled = [(f"x_{i}_{j}", dict(values)[i * 3 + j + 1])
+               for i in range(3) for j in range(3)]
+    vars_ = [(circuit.get_variable(lbl), v) for lbl, v in labeled]
+    vars_ += [(circuit.get_variable("det"), 13)]
+    factory = lambda: generate_3_by_3_determinant_expression().to_arithmetic_circuit()
+    check_proof_and_verify(factory, vars_)
+
+
+def test_proof_serialization_roundtrip():
+    F = BN254_FR
+    circuit = generate_lemniscate_circuit()
+    ligero = LigeroCircuit(circuit, [circuit.last()], DEFAULT_SECURITY_LEVEL)
+    sponge = test_sponge(F)
+    proof = ligero.prove([(1, 8), (2, 4)], sponge.clone())
+    blob = proof.to_bytes(F)
+    restored = LigeroProof.from_bytes(blob, F)
+    assert restored == proof
+    assert ligero.verify(restored, sponge.clone())
+
+
+@needs_circom
+def test_poseidon_prove_and_verify():
+    F = BN254_FR
+    cs = parse_r1cs(os.path.join(REFERENCE_CIRCOM, "poseidon/poseidon.r1cs"), F)
+    circuit, outputs = ArithmeticCircuit.from_constraint_system(cs, F)
+    witness = load_witness_json(
+        os.path.join(REFERENCE_CIRCOM, "poseidon/witness.json"), F)
+    var_assignment = [(i, v) for i, v in enumerate(witness)][1:]
+
+    ligero = LigeroCircuit(circuit, outputs, DEFAULT_SECURITY_LEVEL)
+    assert (ligero.m, ligero.k, ligero.n, ligero.t) == (86, 128, 1024, 156)
+
+    sponge = test_sponge(F)
+    proof = ligero.prove(var_assignment, sponge.clone())
+    assert ligero.verify(proof, sponge.clone())
+
+    # tamper-negative: perturb one witness value
+    bad = list(var_assignment)
+    bad[0] = (bad[0][0], (bad[0][1] + 1) % F.p)
+    bad_proof = ligero.prove(bad, sponge.clone())
+    assert not ligero.verify(bad_proof, sponge.clone())
