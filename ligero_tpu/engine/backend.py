@@ -21,6 +21,18 @@ from .fieldops import FieldKernel
 from .ntt import DomainOps
 
 
+_BACKENDS: dict = {}
+
+
+def get_backend(field: FieldSpec, use_jax: bool = False) -> "Backend":
+    """Shared Backend per (field, engine) — keeps jit caches warm across
+    LigeroCircuit instances."""
+    key = (field.name, use_jax)
+    if key not in _BACKENDS:
+        _BACKENDS[key] = Backend(field, use_jax)
+    return _BACKENDS[key]
+
+
 class Backend:
     def __init__(self, field: FieldSpec, use_jax: bool = False):
         self.field = field

@@ -23,7 +23,7 @@ import math
 import numpy as np
 
 from ..circuit.arithmetic import ADD, CONST, MUL, VAR, ArithmeticCircuit
-from ..engine.backend import Backend
+from ..engine.backend import Backend, get_backend
 from ..fields import FieldSpec
 from ..hashes import column_hash
 from ..matrices import SparseMatrix
@@ -97,7 +97,7 @@ class LigeroCircuit:
                  backend: Backend | None = None):
         field = circuit.field
         self.field = field
-        self.backend = backend or Backend(field)
+        self.backend = backend or get_backend(field)
 
         one_index = circuit.constants.get(1)
         if one_index is not None:

@@ -209,8 +209,25 @@ def test_proof_serialization_roundtrip():
     assert ligero.verify(restored, sponge.clone())
 
 
+def test_engine_equivalence_proof_bytes():
+    """numpy and jitted-JAX engines must produce byte-identical proofs."""
+    from ligero_tpu.engine.backend import get_backend
+    F = BN254_FR
+    proofs = []
+    for use_jax in (False, True):
+        circuit = generate_lemniscate_circuit()
+        ligero = LigeroCircuit(circuit, [circuit.last()],
+                               backend=get_backend(F, use_jax))
+        sponge = test_sponge(F)
+        proof = ligero.prove([(1, 8), (2, 4)], sponge.clone())
+        assert ligero.verify(proof, sponge.clone())
+        proofs.append(proof.to_bytes(F))
+    assert proofs[0] == proofs[1]
+
+
 @needs_circom
 def test_poseidon_prove_and_verify():
+    from ligero_tpu.engine.backend import get_backend
     F = BN254_FR
     cs = parse_r1cs(os.path.join(REFERENCE_CIRCOM, "poseidon/poseidon.r1cs"), F)
     circuit, outputs = ArithmeticCircuit.from_constraint_system(cs, F)
@@ -218,7 +235,8 @@ def test_poseidon_prove_and_verify():
         os.path.join(REFERENCE_CIRCOM, "poseidon/witness.json"), F)
     var_assignment = [(i, v) for i, v in enumerate(witness)][1:]
 
-    ligero = LigeroCircuit(circuit, outputs, DEFAULT_SECURITY_LEVEL)
+    ligero = LigeroCircuit(circuit, outputs, DEFAULT_SECURITY_LEVEL,
+                           backend=get_backend(F, use_jax=True))
     assert (ligero.m, ligero.k, ligero.n, ligero.t) == (86, 128, 1024, 156)
 
     sponge = test_sponge(F)
