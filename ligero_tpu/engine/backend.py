@@ -18,6 +18,7 @@ import numpy as np
 
 from ..fields import FieldSpec
 from .fieldops import FieldKernel
+from .hashops import HashKernel, be_words_to_bytes, words_to_le_bytes
 from .ntt import DomainOps
 
 
@@ -45,6 +46,7 @@ class Backend:
         else:
             self.xp = np
         self.fk = FieldKernel(field, self.xp)
+        self.hk = HashKernel(self.xp)
         self._domains: dict[int, DomainOps] = {}
         self._jit_cache: dict = {}
 
@@ -146,6 +148,52 @@ class Backend:
 
         return self._jit(("quadp", two_k, xyz_coeffs.shape), run)(
             self.asarray(xyz_coeffs), self.asarray(r_quad))
+
+    def commit_columns(self, u_canon):
+        """Device-side column commitment: Blake2s column leaves + SHA-256
+        Merkle levels, all batched.
+
+        ``u_canon``: (4m, n, L) canonical limbs.  Returns
+        ``(leaf_digests: list[bytes], inner_levels: list[list[bytes]])``
+        with ark-compatible byte layouts (see ligero_tpu.hashes).
+        """
+        four_m, n, L = u_canon.shape
+        byte_len = 8 + four_m * L * 2
+        pad_words = (-(2 + four_m * (L // 2))) % 16
+        prefix = np.zeros(2, dtype=np.uint32)
+        prefix[0] = four_m & 0xFFFFFFFF
+        prefix[1] = four_m >> 32
+
+        def byteswap(x):
+            return (((x & np.uint32(0xFF)) << np.uint32(24))
+                    | ((x & np.uint32(0xFF00)) << np.uint32(8))
+                    | ((x >> np.uint32(8)) & np.uint32(0xFF00))
+                    | (x >> np.uint32(24)))
+
+        def run(u):
+            xp = self.xp
+            # serialize each column: u64-LE length prefix + canonical LE
+            # bytes per element (= packed 16-bit limb pairs)
+            cols = xp.moveaxis(u, 1, 0)  # (n, 4m, L)
+            packed = cols[..., 0::2] | (cols[..., 1::2] << np.uint32(16))
+            words = packed.reshape(n, -1)
+            pre = xp.broadcast_to(xp.asarray(prefix), (n, 2))
+            words = xp.concatenate(
+                [pre, words, xp.zeros((n, pad_words), np.uint32)], axis=-1)
+            leaves_le = self.hk.blake2s(words, byte_len)   # (n, 8) LE words
+            level = byteswap(leaves_le)                    # BE words for sha
+            levels = []
+            while level.shape[0] > 1:
+                level = self.hk.sha256_two_to_one(level[0::2], level[1::2])
+                levels.append(level)
+            return leaves_le, tuple(levels)
+
+        leaves_le, levels = self._jit(("commit", u_canon.shape), run)(
+            self.asarray(u_canon))
+        leaves = [words_to_le_bytes(row) for row in self.to_numpy(leaves_le)]
+        inner = [[be_words_to_bytes(row) for row in self.to_numpy(level)]
+                 for level in levels]
+        return leaves, inner
 
     # ------------------------------------------------------------------
     # host <-> device value conversion helpers

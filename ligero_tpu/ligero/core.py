@@ -27,7 +27,7 @@ from ..engine.backend import Backend, get_backend
 from ..fields import FieldSpec
 from ..hashes import column_hash
 from ..matrices import SparseMatrix
-from ..merkle import create_merkle_tree
+from ..merkle import MerkleTree, create_merkle_tree
 from ..sampling import get_distinct_indices_from_prng, rand_field_elements_limbs
 from .proof import (
     InterleavedProof,
@@ -285,10 +285,16 @@ class LigeroCircuit:
 
         # Reed–Solomon encode all rows; commit to columns of U
         u_coeffs, u_evals = be.rs_encode_rows(preenc, k, n)
-        u_canon = be.to_numpy(be.from_mont(u_evals))  # (4m, n, L) canonical
+        u_canon_dev = be.from_mont(u_evals)  # (4m, n, L) canonical
+        u_canon = be.to_numpy(u_canon_dev)
 
-        leaves = self._column_leaves(u_canon)
-        tree = create_merkle_tree(leaves)
+        if be.use_jax:
+            # device-side batched Blake2s leaves + SHA-256 tree levels
+            leaves, levels = be.commit_columns(u_canon_dev)
+            tree = MerkleTree(leaves, inner_levels=levels)
+        else:
+            leaves = self._column_leaves(u_canon)
+            tree = create_merkle_tree(leaves)
         u_root = tree.root
 
         sponge.absorb_bytes(u_root)  # FS #1 (mod.rs:560 / :634)

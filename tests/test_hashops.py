@@ -1,0 +1,59 @@
+import hashlib
+
+import numpy as np
+import pytest
+
+from ligero_tpu.engine.hashops import (
+    HashKernel,
+    be_words_to_bytes,
+    bytes_to_be_words,
+    le_bytes_to_words,
+    words_to_le_bytes,
+)
+
+
+@pytest.mark.parametrize("msg_len", [0, 1, 55, 64, 65, 128, 200, 1000])
+def test_blake2s_matches_hashlib(msg_len):
+    hk = HashKernel(np)
+    rng = np.random.default_rng(msg_len)
+    msgs = [rng.integers(0, 256, msg_len, dtype=np.uint8).tobytes()
+            for _ in range(5)]
+    padded_words = (max(1, (msg_len + 63) // 64)) * 16
+    words = np.stack([
+        np.pad(le_bytes_to_words(m), (0, padded_words - (msg_len + 3) // 4))
+        for m in msgs])
+    got = hk.blake2s(words, msg_len)
+    for i, m in enumerate(msgs):
+        assert words_to_le_bytes(got[i]) == hashlib.blake2s(m).digest()
+
+
+def test_sha256_two_to_one_matches_hashlib():
+    hk = HashKernel(np)
+    rng = np.random.default_rng(0)
+    lefts = [rng.integers(0, 256, 32, dtype=np.uint8).tobytes() for _ in range(7)]
+    rights = [rng.integers(0, 256, 32, dtype=np.uint8).tobytes() for _ in range(7)]
+    lw = np.stack([bytes_to_be_words(b) for b in lefts])
+    rw = np.stack([bytes_to_be_words(b) for b in rights])
+    got = hk.sha256_two_to_one(lw, rw)
+    for i in range(7):
+        expect = hashlib.sha256(lefts[i] + rights[i]).digest()
+        assert be_words_to_bytes(got[i]) == expect
+
+
+def test_jax_hash_kernels_match_numpy():
+    import jax
+    import jax.numpy as jnp
+    hk_np, hk_jx = HashKernel(np), HashKernel(jnp)
+    rng = np.random.default_rng(3)
+    msg_len = 200
+    words = rng.integers(0, 2**32, (4, 64), dtype=np.uint32)
+
+    got_np = hk_np.blake2s(words, msg_len)
+    got_jx = jax.jit(lambda w: hk_jx.blake2s(w, msg_len))(jnp.asarray(words))
+    assert np.array_equal(got_np, np.asarray(got_jx))
+
+    lw = rng.integers(0, 2**32, (4, 8), dtype=np.uint32)
+    rw = rng.integers(0, 2**32, (4, 8), dtype=np.uint32)
+    got_np = hk_np.sha256_two_to_one(lw, rw)
+    got_jx = jax.jit(hk_jx.sha256_two_to_one)(jnp.asarray(lw), jnp.asarray(rw))
+    assert np.array_equal(got_np, np.asarray(got_jx))
