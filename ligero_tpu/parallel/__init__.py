@@ -1,0 +1,3 @@
+from .core_step import make_prover_core, make_sharded_prover_core
+
+__all__ = ["make_prover_core", "make_sharded_prover_core"]
