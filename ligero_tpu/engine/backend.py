@@ -25,19 +25,33 @@ from .ntt import DomainOps
 _BACKENDS: dict = {}
 
 
-def get_backend(field: FieldSpec, use_jax: bool = False) -> "Backend":
+def get_backend(field: FieldSpec, use_jax: bool = False,
+                unroll: bool | None = None) -> "Backend":
     """Shared Backend per (field, engine) — keeps jit caches warm across
     LigeroCircuit instances."""
-    key = (field.name, use_jax)
+    key = (field.name, use_jax, unroll)
     if key not in _BACKENDS:
-        _BACKENDS[key] = Backend(field, use_jax)
+        _BACKENDS[key] = Backend(field, use_jax, unroll)
     return _BACKENDS[key]
 
 
+def default_unroll(use_jax: bool) -> bool:
+    """Unroll limb/round recurrences on real accelerators (fusion wins);
+    keep scan form on CPU (XLA CPU compile pathologies, test hermeticity)."""
+    if not use_jax:
+        return False
+    import jax
+    return jax.devices()[0].platform != "cpu"
+
+
 class Backend:
-    def __init__(self, field: FieldSpec, use_jax: bool = False):
+    def __init__(self, field: FieldSpec, use_jax: bool = False,
+                 unroll: bool | None = None):
         self.field = field
         self.use_jax = use_jax
+        if unroll is None:
+            unroll = default_unroll(use_jax)
+        self.unroll = unroll
         if use_jax:
             import jax
             import jax.numpy as jnp
@@ -45,8 +59,8 @@ class Backend:
             self.xp = jnp
         else:
             self.xp = np
-        self.fk = FieldKernel(field, self.xp)
-        self.hk = HashKernel(self.xp)
+        self.fk = FieldKernel(field, self.xp, unroll=unroll)
+        self.hk = HashKernel(self.xp, unroll=unroll)
         self._domains: dict[int, DomainOps] = {}
         self._jit_cache: dict = {}
 

@@ -40,12 +40,17 @@ _BASE = np.uint32(1 << LIMB_BITS)
 class FieldKernel:
     """Limb-arithmetic kernel for one field, bound to an array namespace."""
 
-    def __init__(self, field: FieldSpec, xp):
+    def __init__(self, field: FieldSpec, xp, unroll: bool = False):
         self.field = field
         self.xp = xp
         self.L = field.num_limbs
         self.n16 = np.uint32(field.n16)
         self._is_jax = xp is not np
+        # Unrolled limb recurrences trace to one big fusable graph — on TPU
+        # that keeps all carry state in registers/VMEM (scan carries round-
+        # trip through HBM every step, ~10x slower).  XLA *CPU* chokes on
+        # large unrolled graphs, so tests default to scan form.
+        self.unroll = unroll
         # Device-resident constants
         self.p_limbs = xp.asarray(field.p_limbs)
         self.r2_limbs = xp.asarray(field.r2_limbs)
@@ -56,7 +61,7 @@ class FieldKernel:
     # ------------------------------------------------------------------
     def _scan(self, body, carry, xs=None, length=None):
         """``body(carry, x) -> (carry, y)``; returns (carry, stacked ys)."""
-        if self._is_jax:
+        if self._is_jax and not self.unroll:
             import jax
             return jax.lax.scan(body, carry, xs, length=length)
         n = length if xs is None else (
@@ -68,7 +73,7 @@ class FieldKernel:
             carry, y = body(carry, x)
             if y is not None:
                 ys.append(y)
-        return carry, (np.stack(ys) if ys else None)
+        return carry, (self.xp.stack(ys) if ys else None)
 
     def _limbs_first(self, a):
         return self.xp.moveaxis(a, -1, 0)

@@ -58,12 +58,18 @@ def _rotr(xp, x, r: int):
 class HashKernel:
     """Batched blake2s/sha256 bound to an array namespace."""
 
-    def __init__(self, xp):
+    def __init__(self, xp, unroll: bool = False):
         self.xp = xp
         self._is_jax = xp is not np
+        # See FieldKernel.unroll: unrolled rounds fuse into one TPU kernel;
+        # scan form avoids an exponential-time XLA CPU compile pass.
+        self.unroll = unroll
 
-    def _scan(self, body, carry, xs=None, length=None):
-        if self._is_jax:
+    def _scan(self, body, carry, xs=None, length=None, force_scan=False):
+        # force_scan: long loops (message blocks, sha rounds) stay scans even
+        # in unroll mode — their carries are small, so HBM roundtrips are
+        # cheap, and unrolling them would explode the program size.
+        if self._is_jax and (force_scan or not self.unroll):
             import jax
             return jax.lax.scan(body, carry, xs, length=length)
         if length is not None:
@@ -112,7 +118,8 @@ class HashKernel:
                 m, t = x
                 return self._blake2s_compress(h, m, t, False), None
 
-            h, _ = self._scan(body, h, (blocks[:-1], xp.asarray(ts)))
+            h, _ = self._scan(body, h, (blocks[:-1], xp.asarray(ts)),
+                              force_scan=True)
         assert byte_len < (1 << 32)
         return self._blake2s_compress(h, blocks[-1], np.uint32(byte_len), True)
 
@@ -194,7 +201,8 @@ class HashKernel:
             return (t1 + t2, a, b, c, (d + t1), e, f, g, w), None
 
         init = tuple(state[..., i] for i in range(8)) + (block,)
-        final, _ = self._scan(round_body, init, xp.asarray(_SHA_K))
+        final, _ = self._scan(round_body, init, xp.asarray(_SHA_K),
+                              force_scan=True)
         a, b, c, d, e, f, g, h, _ = final
         out = xp.stack([a, b, c, d, e, f, g, h], axis=-1)
         return state + out

@@ -86,6 +86,11 @@ class NTTPlan:
             t = fk.mont_mul(hi, tw)
             x = xp.concatenate([fk.add(lo, t), fk.sub(lo, t)], axis=-2)
             x = x.reshape(lead + (n, L))
+            if fk.unroll and fk._is_jax:
+                # bound the scheduler's live set: without a barrier XLA keeps
+                # many unrolled stage temporaries alive at once and OOMs HBM
+                import jax
+                x = jax.lax.optimization_barrier(x)
         if self.inverse:
             x = fk.mont_mul(x, self.n_inv)
         return x

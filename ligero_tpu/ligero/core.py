@@ -22,6 +22,7 @@ import math
 
 import numpy as np
 
+from .. import native
 from ..circuit.arithmetic import ADD, CONST, MUL, VAR, ArithmeticCircuit
 from ..engine.backend import Backend, get_backend
 from ..fields import FieldSpec
@@ -275,13 +276,94 @@ class LigeroCircuit:
             vec.extend([0] * (mk - len(vec)))
         return x, y, z, w
 
+    # -- native fast path: witness -> Montgomery preenc without Python ints
+    def _native_cache_build(self):
+        nodes = self.circuit.nodes
+        nn = len(nodes)
+        nl = self.field.num_u64_limbs
+        kinds = np.zeros(nn, dtype=np.uint8)
+        lefts = np.zeros(nn, dtype=np.int64)
+        rights = np.zeros(nn, dtype=np.int64)
+        const_idx, const_vals = [], []
+        for i, node in enumerate(nodes):
+            if node[0] == ADD:
+                kinds[i], lefts[i], rights[i] = 1, node[1], node[2]
+            elif node[0] == MUL:
+                kinds[i], lefts[i], rights[i] = 2, node[1], node[2]
+            elif node[0] == CONST:
+                const_idx.append(i)
+                const_vals.append(node[1])
+        const_idx = np.asarray(const_idx, dtype=np.int64)
+        const_vals_mont = native.ints_to_u64_limbs(const_vals, nl)
+        native.to_mont_inplace(self.field, const_vals_mont)
+
+        sel = np.asarray([i for i, nd in enumerate(nodes)
+                          if nd[0] != CONST or i == 0], dtype=np.int64)
+        is_mul = np.asarray([nodes[i][0] == MUL for i in sel], dtype=bool)
+        mul_left = np.asarray([nodes[i][1] if nodes[i][0] == MUL else 0
+                               for i in sel], dtype=np.int64)
+        mul_right = np.asarray([nodes[i][2] if nodes[i][0] == MUL else 0
+                                for i in sel], dtype=np.int64)
+        self._ncache = dict(kinds=kinds, lefts=lefts, rights=rights,
+                            const_idx=const_idx, const_vals=const_vals_mont,
+                            sel=sel, is_mul=is_mul, mul_left=mul_left,
+                            mul_right=mul_right)
+
+    def _preenc_mont_limbs_native(self, var_assignment) -> np.ndarray:
+        """Evaluate the witness and pack the 4m x k preenc matrix entirely
+        in native/numpy code (Montgomery limbs end to end).
+
+        Slightly more permissive than the reference's trace-then-expect
+        (mod.rs:476-478): a full forward pass also evaluates gates no
+        output depends on, instead of panicking on them.
+        """
+        if not hasattr(self, "_ncache"):
+            self._native_cache_build()
+        c = self._ncache
+        field, nl = self.field, self.field.num_u64_limbs
+        nn = len(self.circuit.nodes)
+        vals = np.zeros((nn, nl), dtype=np.uint64)
+        have = np.zeros(nn, dtype=np.uint8)
+        vals[c["const_idx"]] = c["const_vals"]
+        have[c["const_idx"]] = 1
+        var_idx, var_vals = [], []
+        for i, v in var_assignment:
+            if self.circuit.nodes[i][0] != VAR:
+                raise ValueError("Value supplied for non-variable node")
+            var_idx.append(i)
+            var_vals.append(v % field.p)
+        if var_idx:
+            vv = native.ints_to_u64_limbs(var_vals, nl)
+            native.to_mont_inplace(field, vv)
+            vals[np.asarray(var_idx, dtype=np.int64)] = vv
+            have[np.asarray(var_idx, dtype=np.int64)] = 1
+        native.eval_circuit_mont(field, c["kinds"], c["lefts"], c["rights"],
+                                 vals, have)
+
+        mk = self.m * self.k
+        sel, is_mul = c["sel"], c["is_mul"]
+        x = np.zeros((mk, nl), dtype=np.uint64)
+        y = np.zeros((mk, nl), dtype=np.uint64)
+        z = np.zeros((mk, nl), dtype=np.uint64)
+        w = np.zeros((mk, nl), dtype=np.uint64)
+        w[:len(sel)] = vals[sel]
+        x[:len(sel)][is_mul] = vals[c["mul_left"][is_mul]]
+        y[:len(sel)][is_mul] = vals[c["mul_right"][is_mul]]
+        z[:len(sel)][is_mul] = vals[sel[is_mul]]
+        stacked = np.concatenate([x, y, z, w], axis=0)  # (4mk, nl) Montgomery
+        limbs16 = native.u64_to_u16_limbs(stacked, self.field.num_limbs)
+        return limbs16.reshape(4 * self.m, self.k, self.field.num_limbs)
+
     def _prove_inner(self, var_assignment, sponge) -> LigeroProof:
         be = self.backend
         m, k, n = self.m, self.k, self.n
 
-        x, y, z, w = self._solution_vectors(var_assignment)
-        preenc_ints = x + y + z + w  # 4m rows of k
-        preenc = be.ints_to_mont(preenc_ints).reshape(4 * m, k, -1)
+        if native.available():
+            preenc = self._preenc_mont_limbs_native(var_assignment)
+        else:
+            x, y, z, w = self._solution_vectors(var_assignment)
+            preenc_ints = x + y + z + w  # 4m rows of k
+            preenc = be.ints_to_mont(preenc_ints).reshape(4 * m, k, -1)
 
         # Reed–Solomon encode all rows; commit to columns of U
         u_coeffs, u_evals = be.rs_encode_rows(preenc, k, n)
@@ -336,11 +418,24 @@ class LigeroCircuit:
         map v -> v*R is linear, so Montgomery form passes through r^T A).
         """
         be = self.backend
-        r_linear = self._expand_field(4 * self.m * self.k, seed)
-        r_mont_ints = self.field.limbs_to_ints(r_linear)  # raw = Montgomery
-        r_a = self.a.row_mul(r_mont_ints)                 # Montgomery ints
-        r_a_limbs = self.field.ints_to_limbs(r_a).reshape(4 * self.m, self.k, -1)
-        return be.intt(r_a_limbs, self.k)
+        four_mk = 4 * self.m * self.k
+        r_linear = self._expand_field(four_mk, seed)
+        if native.available():
+            if not hasattr(self, "_a_coo"):
+                rows, cols, vals = self.a.to_coo()
+                vals_u64 = native.ints_to_u64_limbs(vals, self.field.num_u64_limbs)
+                native.to_mont_inplace(self.field, vals_u64)
+                self._a_coo = (rows, cols, vals_u64)
+            rows, cols, vals_u64 = self._a_coo
+            r_u64 = native.u16_to_u64_limbs(r_linear)
+            out = native.sparse_row_mul_mont(self.field, rows, cols, vals_u64,
+                                             r_u64, four_mk)
+            r_a_limbs = native.u64_to_u16_limbs(out, self.field.num_limbs)
+        else:
+            r_mont_ints = self.field.limbs_to_ints(r_linear)  # raw = Montgomery
+            r_a = self.a.row_mul(r_mont_ints)                 # Montgomery ints
+            r_a_limbs = self.field.ints_to_limbs(r_a)
+        return be.intt(r_a_limbs.reshape(4 * self.m, self.k, -1), self.k)
 
     def _prove_linear(self, u_coeffs, u_canon, tree, sponge) -> LinearConstraintsProof:
         be = self.backend

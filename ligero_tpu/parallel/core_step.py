@@ -62,7 +62,8 @@ def _column_words(xp, u_canon, four_m: int, L: int):
     return words, byte_len
 
 
-def make_prover_core(field: FieldSpec, four_m: int, k: int, n: int):
+def make_prover_core(field: FieldSpec, four_m: int, k: int, n: int,
+                     unroll: bool | None = None):
     """Single-chip jittable core.
 
     Returns ``fn(preenc (4m,k,L) mont, r (4m,L) mont) ->
@@ -70,8 +71,11 @@ def make_prover_core(field: FieldSpec, four_m: int, k: int, n: int):
     """
     import jax.numpy as jnp
 
-    fk = FieldKernel(field, jnp)
-    hk = HashKernel(jnp)
+    from ..engine.backend import default_unroll
+    if unroll is None:
+        unroll = default_unroll(True)
+    fk = FieldKernel(field, jnp, unroll=unroll)
+    hk = HashKernel(jnp, unroll=unroll)
     dom_k = DomainOps(fk, k)
     dom_n = DomainOps(fk, n)
     L = field.num_limbs
@@ -92,7 +96,8 @@ def make_prover_core(field: FieldSpec, four_m: int, k: int, n: int):
     return fn
 
 
-def make_sharded_prover_core(field: FieldSpec, mesh, four_m: int, k: int, n: int):
+def make_sharded_prover_core(field: FieldSpec, mesh, four_m: int, k: int, n: int,
+                             unroll: bool | None = None):
     """Mesh-sharded prover core over a 1-D device mesh axis ``"rows"``.
 
     Row blocks of preenc/U are sharded across chips; the commitment phase
@@ -108,8 +113,11 @@ def make_sharded_prover_core(field: FieldSpec, mesh, four_m: int, k: int, n: int
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
-    fk = FieldKernel(field, jnp)
-    hk = HashKernel(jnp)
+    from ..engine.backend import default_unroll
+    if unroll is None:
+        unroll = default_unroll(True)
+    fk = FieldKernel(field, jnp, unroll=unroll)
+    hk = HashKernel(jnp, unroll=unroll)
     dom_k = DomainOps(fk, k)
     dom_n = DomainOps(fk, n)
     L = field.num_limbs

@@ -1,0 +1,176 @@
+// Native host-side kernels for ligero_tpu.
+//
+// The TPU owns the dense bulk math (NTT, hashing, combinations); the host
+// owns irregular, pointer-chasing work the reference does in Rust:
+// witness evaluation over the circuit DAG and the sparse r^T·A products
+// (reference: src/arithmetic_circuit/mod.rs:247-271 evaluator,
+// src/matrices/mod.rs:100-110 sparse row_mul).  Python-int big-number
+// arithmetic is ~100x too slow at 2^20 gates, so these run here as
+// limb-vector Montgomery arithmetic, generic over the u64 limb count
+// (4 = BN254, 6 = BLS12-377 Fq).
+//
+// Build: g++ -O3 -shared -fPIC (driven by ligero_tpu/native.py, loaded via
+// ctypes; the framework falls back to pure Python when unavailable).
+//
+// Representation: little-endian u64 limbs; "mont" = Montgomery form with
+// R = 2^(64*NL), matching ark-ff and ligero_tpu.fields.
+
+#include <cstdint>
+#include <cstring>
+
+using u64 = uint64_t;
+using u128 = __uint128_t;
+
+namespace {
+
+constexpr int MAX_NL = 8;
+
+struct Field {
+    int nl;
+    u64 p[MAX_NL];
+    u64 n0inv;           // -p^{-1} mod 2^64
+    u64 r2[MAX_NL];      // R^2 mod p
+};
+
+inline bool geq(const u64* a, const u64* b, int nl) {
+    for (int i = nl - 1; i >= 0; --i) {
+        if (a[i] > b[i]) return true;
+        if (a[i] < b[i]) return false;
+    }
+    return true;  // equal
+}
+
+inline void sub_p(u64* a, const u64* p, int nl) {
+    u64 borrow = 0;
+    for (int i = 0; i < nl; ++i) {
+        u128 t = (u128)a[i] - p[i] - borrow;
+        a[i] = (u64)t;
+        borrow = (t >> 64) ? 1 : 0;
+    }
+}
+
+// CIOS Montgomery multiplication: out = a*b*R^{-1} mod p.
+inline void mont_mul(const Field& f, const u64* a, const u64* b, u64* out) {
+    const int nl = f.nl;
+    u64 t[MAX_NL + 2] = {0};
+    for (int i = 0; i < nl; ++i) {
+        u128 carry = 0;
+        for (int j = 0; j < nl; ++j) {
+            u128 cur = (u128)t[j] + (u128)a[i] * b[j] + carry;
+            t[j] = (u64)cur;
+            carry = cur >> 64;
+        }
+        u128 cur = (u128)t[nl] + carry;
+        t[nl] = (u64)cur;
+        t[nl + 1] = (u64)(cur >> 64);
+
+        u64 m = t[0] * f.n0inv;
+        carry = ((u128)t[0] + (u128)m * f.p[0]) >> 64;
+        for (int j = 1; j < nl; ++j) {
+            u128 c2 = (u128)t[j] + (u128)m * f.p[j] + carry;
+            t[j - 1] = (u64)c2;
+            carry = c2 >> 64;
+        }
+        cur = (u128)t[nl] + carry;
+        t[nl - 1] = (u64)cur;
+        t[nl] = t[nl + 1] + (u64)(cur >> 64);
+        t[nl + 1] = 0;
+    }
+    // t[0..nl] holds the result (t[nl] is the overflow bit)
+    if (t[nl] || geq(t, f.p, nl)) sub_p(t, f.p, nl);
+    std::memcpy(out, t, nl * sizeof(u64));
+}
+
+inline void add_mod(const Field& f, const u64* a, const u64* b, u64* out) {
+    const int nl = f.nl;
+    u64 carry = 0;
+    u64 t[MAX_NL + 1];
+    for (int i = 0; i < nl; ++i) {
+        u128 cur = (u128)a[i] + b[i] + carry;
+        t[i] = (u64)cur;
+        carry = (u64)(cur >> 64);
+    }
+    t[nl] = carry;
+    if (carry || geq(t, f.p, nl)) sub_p(t, f.p, nl);
+    std::memcpy(out, t, nl * sizeof(u64));
+}
+
+Field make_field(int nl, const u64* p, u64 n0inv, const u64* r2) {
+    Field f;
+    f.nl = nl;
+    f.n0inv = n0inv;
+    std::memcpy(f.p, p, nl * sizeof(u64));
+    std::memcpy(f.r2, r2, nl * sizeof(u64));
+    return f;
+}
+
+}  // namespace
+
+extern "C" {
+
+// values[count][nl]: canonical -> Montgomery in place.
+void lh_to_mont(int nl, const u64* p, u64 n0inv, const u64* r2,
+                u64* values, int64_t count) {
+    Field f = make_field(nl, p, n0inv, r2);
+    u64 tmp[MAX_NL];
+    for (int64_t i = 0; i < count; ++i) {
+        mont_mul(f, values + i * nl, f.r2, tmp);
+        std::memcpy(values + i * nl, tmp, nl * sizeof(u64));
+    }
+}
+
+// values[count][nl]: Montgomery -> canonical in place.
+void lh_from_mont(int nl, const u64* p, u64 n0inv, const u64* r2,
+                  u64* values, int64_t count) {
+    Field f = make_field(nl, p, n0inv, r2);
+    u64 one[MAX_NL] = {1, 0, 0, 0, 0, 0, 0, 0};
+    u64 tmp[MAX_NL];
+    for (int64_t i = 0; i < count; ++i) {
+        mont_mul(f, values + i * nl, one, tmp);
+        std::memcpy(values + i * nl, tmp, nl * sizeof(u64));
+    }
+}
+
+// Forward evaluation of a topologically-ordered circuit.
+//   kinds[i]: 0 = preset (constant/variable; values[i] already in
+//             Montgomery form, have[i] = 1), 1 = add, 2 = mul.
+// Returns 0 on success, 1 + index of the first unset operand on failure.
+int64_t lh_eval_circuit(int nl, const u64* p, u64 n0inv, const u64* r2,
+                        const uint8_t* kinds, const int64_t* lefts,
+                        const int64_t* rights, u64* values, uint8_t* have,
+                        int64_t n_nodes) {
+    Field f = make_field(nl, p, n0inv, r2);
+    for (int64_t i = 0; i < n_nodes; ++i) {
+        if (kinds[i] == 0) {
+            if (!have[i]) return i + 1;
+            continue;
+        }
+        int64_t l = lefts[i], r = rights[i];
+        if (!have[l]) return l + 1;
+        if (!have[r]) return r + 1;
+        if (kinds[i] == 1) {
+            add_mod(f, values + l * nl, values + r * nl, values + i * nl);
+        } else {
+            mont_mul(f, values + l * nl, values + r * nl, values + i * nl);
+        }
+        have[i] = 1;
+    }
+    return 0;
+}
+
+// Sparse v^T·M accumulation: out[cols[e]] += r[rows[e]] * vals[e] for every
+// entry e.  r and vals in Montgomery form; out (pre-zeroed, ncols x nl)
+// accumulates in Montgomery form.
+void lh_sparse_row_mul(int nl, const u64* p, u64 n0inv, const u64* r2,
+                       int64_t nnz, const int32_t* rows, const int32_t* cols,
+                       const u64* vals, const u64* r, u64* out) {
+    Field f = make_field(nl, p, n0inv, r2);
+    u64 prod[MAX_NL];
+    for (int64_t e = 0; e < nnz; ++e) {
+        mont_mul(f, r + (int64_t)rows[e] * nl, vals + e * nl, prod);
+        u64* dst = out + (int64_t)cols[e] * nl;
+        add_mod(f, dst, prod, dst);
+    }
+}
+
+}  // extern "C"
