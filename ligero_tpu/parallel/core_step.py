@@ -63,27 +63,46 @@ def _column_words(xp, u_canon, four_m: int, L: int):
 
 
 def make_prover_core(field: FieldSpec, four_m: int, k: int, n: int,
-                     unroll: bool | None = None):
+                     unroll: bool | None = None,
+                     row_chunk: int | None = None):
     """Single-chip jittable core.
 
     Returns ``fn(preenc (4m,k,L) mont, r (4m,L) mont) ->
     (u_evals (4m,n,L) mont, leaves_le (n,8), root_be (8,), lc (k,L) mont)``.
+
+    ``row_chunk``: in unroll mode, process the (independent) rows of the
+    RS-encode phase in chunks via ``lax.map`` — the unrolled limb graph
+    fuses into few kernels per chunk while peak HBM stays bounded at
+    ``O(row_chunk * n * L)`` instead of the scheduler keeping dozens of
+    full-matrix temporaries alive.
     """
+    import jax
     import jax.numpy as jnp
 
     from ..engine.backend import default_unroll
     if unroll is None:
         unroll = default_unroll(True)
+    if row_chunk is None and unroll:
+        row_chunk = max(1, min(four_m, (1 << 24) // (n * field.num_limbs)))
     fk = FieldKernel(field, jnp, unroll=unroll)
     hk = HashKernel(jnp, unroll=unroll)
     dom_k = DomainOps(fk, k)
     dom_n = DomainOps(fk, n)
     L = field.num_limbs
 
-    def fn(preenc, r):
-        coeffs = dom_k.ifft(preenc)
+    def encode_block(block):
+        coeffs = dom_k.ifft(block)
         u_evals = dom_n.fft_padded(coeffs)
-        u_canon = fk.from_mont(u_evals)
+        return u_evals, fk.from_mont(u_evals)
+
+    def fn(preenc, r):
+        if unroll and row_chunk and four_m % row_chunk == 0 and four_m > row_chunk:
+            blocks = preenc.reshape(four_m // row_chunk, row_chunk, k, L)
+            u_evals, u_canon = jax.lax.map(encode_block, blocks)
+            u_evals = u_evals.reshape(four_m, n, L)
+            u_canon = u_canon.reshape(four_m, n, L)
+        else:
+            u_evals, u_canon = encode_block(preenc)
         words, byte_len = _column_words(jnp, u_canon, four_m, L)
         leaves_le = hk.blake2s(words, byte_len)
         level = _byteswap(leaves_le)
