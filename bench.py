@@ -49,26 +49,33 @@ def run_bench(four_m: int, k: int, iters: int = 3):
 
     field = BN254_FR
     n = 8 * k
-    fn = jax.jit(make_prover_core(field, four_m, k, n))
+    # chunked-unrolled is ~2.4x faster at runtime (5.4M vs 2.27M elems/s on
+    # v5e); its remote compile is slow but server-cached across processes.
+    unroll = os.environ.get("LIGERO_BENCH_UNROLL", "1") == "1"
+    fn = jax.jit(make_prover_core(field, four_m, k, n, unroll=unroll))
 
-    rng = np.random.default_rng(0)
-    preenc = field.ints_to_mont_limbs(
-        [int(x) for x in rng.integers(0, 2**62, four_m * k)]
-    ).reshape(four_m, k, field.num_limbs)
-    r = field.ints_to_mont_limbs(
-        [int(x) for x in rng.integers(0, 2**62, four_m)])
-    pa, ra = jnp.asarray(preenc), jnp.asarray(r)
+    def inputs(seed: int):
+        rng = np.random.default_rng(seed)
+        preenc = field.ints_to_mont_limbs(
+            [int(x) for x in rng.integers(0, 2**62, four_m * k)]
+        ).reshape(four_m, k, field.num_limbs)
+        r = field.ints_to_mont_limbs(
+            [int(x) for x in rng.integers(0, 2**62, four_m)])
+        return jnp.asarray(preenc), jnp.asarray(r)
 
+    pa, ra = inputs(0)
     t0 = time.time()
-    out = fn(pa, ra)
-    jax.block_until_ready(out)
+    jax.block_until_ready(fn(pa, ra))
     compile_s = time.time() - t0
 
     best = float("inf")
-    for _ in range(iters):
+    for i in range(1, iters + 1):
+        # fresh inputs every iteration: the tunneled execution service
+        # result-caches identical requests, which would fake ~1000x speedups
+        pa, ra = inputs(i)
+        jax.block_until_ready((pa, ra))
         t0 = time.time()
-        out = fn(pa, ra)
-        jax.block_until_ready(out)
+        jax.block_until_ready(fn(pa, ra))
         best = min(best, time.time() - t0)
 
     elems = four_m * n  # RS-encoded field elements produced per step
