@@ -1,0 +1,239 @@
+"""Pallas batched NTT: the whole transform out of VMEM, one HBM pass.
+
+Layout ``(L, B, n)``: limbs lead, a row-tile rides the sublanes, the
+transform axis ``n`` rides the lanes.  All ``log2 n`` DIT stages run
+inside one kernel instance, so HBM sees exactly one read and one write
+per transform — versus one read+write per *limb step per stage* for the
+scan formulation and one per stage for the best fused XLA schedule.
+
+Butterflies use the XOR formulation, uniform for every stage (no
+reshapes, no sub-128-lane slicing):
+
+    partner[j] = x[j ^ h]        (two lane-rolls + a select)
+    hi[j]      = x[j | h]
+    lo[j]      = x[j & ~h]
+    x'[j]      = lo[j] ± w[j mod h] * hi[j]   (+ on the lo slot, - on hi)
+
+The twiddle pattern per stage is a full-length lane vector, so the
+Montgomery multiply is elementwise in exactly the layout the limb
+recurrences want (limb index in the leading axis).  The multiply is
+computed on both slots of each pair (2x the classical multiply count) —
+a deliberate trade of VPU multiplies for zero cross-lane data movement
+beyond the two rolls.
+
+Bit-reversal runs outside the kernel (one XLA gather on the natural
+layout).  ``ifft`` applies the n^{-1} scaling in-kernel via a constant
+Montgomery multiply.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..fields import FIELDS, FieldSpec
+from .ntt import bitrev_permutation
+
+ROW_TILE = 8  # sublane tile of rows per kernel instance
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_table(field_name: str, n: int, inverse: bool) -> np.ndarray:
+    """(S, L, n) Montgomery twiddle patterns: tw[s, :, j] = w_{2h}^{j mod h}."""
+    field = FIELDS[field_name]
+    omega = field.root_of_unity(n)
+    if inverse:
+        omega = pow(omega, -1, field.p)
+    stages = []
+    s_count = n.bit_length() - 1
+    for s in range(s_count):
+        h = 1 << s
+        m = 2 * h
+        w_m = pow(omega, n // m, field.p)
+        base = [1] * 1
+        vals = []
+        cur = 1
+        for j in range(h):
+            vals.append(cur)
+            cur = cur * w_m % field.p
+        pattern = [vals[j % h] for j in range(n)]
+        stages.append(field.ints_to_mont_limbs(pattern))  # (n, L)
+    table = np.stack(stages)  # (S, n, L)
+    return np.ascontiguousarray(table.transpose(0, 2, 1))  # (S, L, n)
+
+
+@functools.lru_cache(maxsize=None)
+def _ntt_kernel_factory(field_name: str, n: int, inverse: bool, row_tile: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    field = FIELDS[field_name]
+    L = field.num_limbs
+    S = n.bit_length() - 1
+    n16 = np.uint32(field.n16)
+    mask = np.uint32(0xFFFF)
+    sixteen = np.uint32(16)
+    p_scalars = [np.uint32(int(field.p_limbs[j])) for j in range(L)]
+    n_inv_limbs = [np.uint32(int(v)) for v in
+                   field.ints_to_mont_limbs([pow(n, -1, field.p)])[0]]
+
+    def _normalize_condsub(res_rows):
+        """Carry-normalize L column vectors then conditionally subtract p."""
+        c = jnp.zeros(res_rows[0].shape, jnp.uint32)
+        rows = []
+        for j in range(L):
+            t = res_rows[j] + c
+            rows.append(t & mask)
+            c = t >> sixteen
+        res = jnp.stack(rows)
+        borrow = jnp.zeros(res_rows[0].shape, jnp.uint32)
+        diff = []
+        for j in range(L):
+            t = rows[j] + np.uint32(0x10000) - p_scalars[j] - borrow
+            diff.append(t & mask)
+            borrow = np.uint32(1) - (t >> sixteen)
+        return jnp.where((borrow == 0)[None], jnp.stack(diff), res)
+
+    def _redc(acc, zero_row):
+        """16-bit interleaved REDC on a (2L, ...) column accumulator."""
+        carry = jnp.zeros(acc.shape[1:], jnp.uint32)
+        for _ in range(L):
+            v = acc[0] + carry
+            m = (v * n16) & mask
+            mp = [m * pj for pj in p_scalars]
+            carry = (v + (mp[0] & mask)) >> sixteen
+            add_mid = jnp.stack(
+                [(mp[j] & mask) + (mp[j - 1] >> sixteen) for j in range(1, L)])
+            acc = jnp.concatenate(
+                [acc[0:1], acc[1:L] + add_mid,
+                 acc[L:L + 1] + (mp[L - 1] >> sixteen)[None], acc[L + 1:]],
+                axis=0)
+            acc = jnp.concatenate([acc[1:], zero_row], axis=0)
+        res = [acc[0] + carry] + [acc[j] for j in range(1, L)]
+        return _normalize_condsub(res)
+
+    def mont_mul_vm(a, b):
+        """(L, T, n) x (L, T, n) Montgomery product, everything in VMEM."""
+        zero_row = jnp.zeros_like(a[0:1])
+        acc = jnp.zeros(((2 * L,) + a.shape[1:]), jnp.uint32)
+        for i in range(L - 1, -1, -1):
+            acc = jnp.concatenate([zero_row, acc[:-1]], axis=0)
+            prod = a[i:i + 1] * b
+            acc = jnp.concatenate([acc[0:L] + (prod & mask), acc[L:]], axis=0)
+            acc = jnp.concatenate(
+                [acc[0:1], acc[1:L + 1] + (prod >> sixteen), acc[L + 1:]], axis=0)
+        return _redc(acc, zero_row)
+
+    def mont_mul_const(a, c_limbs):
+        """a * const, const given as L python uint32 scalars (Montgomery)."""
+        zero_row = jnp.zeros_like(a[0:1])
+        acc = jnp.zeros(((2 * L,) + a.shape[1:]), jnp.uint32)
+        for i in range(L - 1, -1, -1):
+            acc = jnp.concatenate([zero_row, acc[:-1]], axis=0)
+            prod = a * c_limbs[i]  # every limb of a times the scalar limb
+            acc = jnp.concatenate([acc[0:L] + (prod & mask), acc[L:]], axis=0)
+            acc = jnp.concatenate(
+                [acc[0:1], acc[1:L + 1] + (prod >> sixteen), acc[L + 1:]], axis=0)
+        return _redc(acc, zero_row)
+
+    def add_mod(a, b):
+        limbs = [a[j] + b[j] for j in range(L)]
+        c = jnp.zeros(a.shape[1:], jnp.uint32)
+        rows = []
+        for j in range(L):
+            t = limbs[j] + c
+            rows.append(t & mask)
+            c = t >> sixteen
+        res = jnp.stack(rows)
+        borrow = jnp.zeros(a.shape[1:], jnp.uint32)
+        diff = []
+        for j in range(L):
+            t = rows[j] + np.uint32(0x10000) - p_scalars[j] - borrow
+            diff.append(t & mask)
+            borrow = np.uint32(1) - (t >> sixteen)
+        return jnp.where((borrow == 0)[None], jnp.stack(diff), res)
+
+    def sub_mod(a, b):
+        borrow = jnp.zeros(a.shape[1:], jnp.uint32)
+        diff = []
+        for j in range(L):
+            t = a[j] + np.uint32(0x10000) - b[j] - borrow
+            diff.append(t & mask)
+            borrow = np.uint32(1) - (t >> sixteen)
+        under = (borrow != 0)
+        carry = jnp.zeros(a.shape[1:], jnp.uint32)
+        rows = []
+        for j in range(L):
+            t = diff[j] + jnp.where(under, p_scalars[j], np.uint32(0)) + carry
+            rows.append(t & mask)
+            carry = t >> sixteen
+        return jnp.stack(rows)
+
+    def kernel(x_ref, tw_ref, out_ref):
+        x = x_ref[:, :, :]  # (L, T, n), already bit-reversed along n
+        lane_idx = jax.lax.broadcasted_iota(jnp.uint32, x.shape[1:], 1)
+        for s in range(S):
+            h = 1 << s
+            bit_set = (lane_idx & np.uint32(h)) != 0
+            x_fwd = pltpu.roll(x, n - h, 2)  # x[(j + h) mod n]
+            x_bwd = pltpu.roll(x, h, 2)      # x[(j - h) mod n]
+            partner = jnp.where(bit_set[None], x_bwd, x_fwd)  # x[j ^ h]
+            hi = jnp.where(bit_set[None], x, partner)         # x[j | h]
+            lo = jnp.where(bit_set[None], partner, x)         # x[j & ~h]
+            tw = tw_ref[s]  # (L, n) — broadcast over the row tile
+            prod = mont_mul_vm(hi, jnp.broadcast_to(tw[:, None, :], hi.shape))
+            x = jnp.where(bit_set[None], sub_mod(lo, prod), add_mod(lo, prod))
+        if inverse:
+            x = mont_mul_const(x, n_inv_limbs)
+        out_ref[:, :, :] = x
+
+    def run(x_lbn, interpret=False):
+        """x: (L, B, n) bit-reversed input -> (L, B, n) transformed."""
+        import jax
+        B = x_lbn.shape[1]
+        grid = (B // row_tile,)
+        tw = jnp.asarray(_twiddle_table(field_name, n, inverse))
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((L, B, n), jnp.uint32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((L, row_tile, n), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((S, L, n), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((L, row_tile, n), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x_lbn, tw)
+
+    return run
+
+
+def ntt_pallas(field: FieldSpec, x, n: int, inverse: bool = False,
+               interpret: bool = False, row_tile: int = ROW_TILE):
+    """Batched NTT on ``(B, n, L)`` Montgomery arrays via the Pallas kernel.
+
+    Handles the layout transposes and bit-reversal at the boundary;
+    ``(L, B, n)``-native pipelines should call the factory directly.
+    """
+    import jax.numpy as jnp
+
+    B = x.shape[0]
+    pad_rows = (-B) % row_tile
+    perm = bitrev_permutation(n)
+    x = jnp.take(x, jnp.asarray(perm), axis=1)
+    x_lbn = jnp.moveaxis(x, 2, 0)  # (L, B, n)
+    if pad_rows:
+        x_lbn = jnp.concatenate(
+            [x_lbn, jnp.zeros((x_lbn.shape[0], pad_rows, n), jnp.uint32)],
+            axis=1)
+    run = _ntt_kernel_factory(field.name, n, inverse, row_tile)
+    out = run(x_lbn, interpret=interpret)
+    if pad_rows:
+        out = out[:, :B, :]
+    return jnp.moveaxis(out, 0, 2)
