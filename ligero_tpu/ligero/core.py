@@ -30,6 +30,7 @@ from ..hashes import column_hash
 from ..matrices import SparseMatrix
 from ..merkle import MerkleTree, create_merkle_tree
 from ..sampling import get_distinct_indices_from_prng, rand_field_elements_limbs
+from ..utils.profiling import phase_timer
 from .proof import (
     InterleavedProof,
     LigeroProof,
@@ -358,34 +359,46 @@ class LigeroCircuit:
         be = self.backend
         m, k, n = self.m, self.k, self.n
 
+        with phase_timer.phase("witness+preenc"):
+            preenc = self._build_preenc(var_assignment)
+
+        # Reed–Solomon encode all rows; commit to columns of U
+        with phase_timer.phase("rs_encode"):
+            u_coeffs, u_evals = be.rs_encode_rows(preenc, k, n)
+            u_canon_dev = be.from_mont(u_evals)  # (4m, n, L) canonical
+            u_canon = be.to_numpy(u_canon_dev)
+
+        with phase_timer.phase("commit"):
+            if be.use_jax:
+                # device-side batched Blake2s leaves + SHA-256 tree levels
+                leaves, levels = be.commit_columns(u_canon_dev)
+                tree = MerkleTree(leaves, inner_levels=levels)
+            else:
+                leaves = self._column_leaves(u_canon)
+                tree = create_merkle_tree(leaves)
+        u_root = tree.root
+
+        sponge.absorb_bytes(u_root)  # FS #1 (mod.rs:560 / :634)
+
+        with phase_timer.phase("interleaved"):
+            interleaved = self._prove_interleaved(preenc, u_canon, tree, sponge)
+        with phase_timer.phase("linear"):
+            linear = self._prove_linear(u_coeffs, u_canon, tree, sponge)
+        with phase_timer.phase("quadratic"):
+            quadratic = self._prove_quadratic(u_coeffs, u_canon, tree, sponge)
+
+        return LigeroProof(u_root, interleaved, linear, quadratic)
+
+    def _build_preenc(self, var_assignment):
+        be = self.backend
+        m, k = self.m, self.k
         if native.available():
             preenc = self._preenc_mont_limbs_native(var_assignment)
         else:
             x, y, z, w = self._solution_vectors(var_assignment)
             preenc_ints = x + y + z + w  # 4m rows of k
             preenc = be.ints_to_mont(preenc_ints).reshape(4 * m, k, -1)
-
-        # Reed–Solomon encode all rows; commit to columns of U
-        u_coeffs, u_evals = be.rs_encode_rows(preenc, k, n)
-        u_canon_dev = be.from_mont(u_evals)  # (4m, n, L) canonical
-        u_canon = be.to_numpy(u_canon_dev)
-
-        if be.use_jax:
-            # device-side batched Blake2s leaves + SHA-256 tree levels
-            leaves, levels = be.commit_columns(u_canon_dev)
-            tree = MerkleTree(leaves, inner_levels=levels)
-        else:
-            leaves = self._column_leaves(u_canon)
-            tree = create_merkle_tree(leaves)
-        u_root = tree.root
-
-        sponge.absorb_bytes(u_root)  # FS #1 (mod.rs:560 / :634)
-
-        interleaved = self._prove_interleaved(preenc, u_canon, tree, sponge)
-        linear = self._prove_linear(u_coeffs, u_canon, tree, sponge)
-        quadratic = self._prove_quadratic(u_coeffs, u_canon, tree, sponge)
-
-        return LigeroProof(u_root, interleaved, linear, quadratic)
+        return preenc
 
     def _column_leaves(self, u_canon: np.ndarray) -> list[bytes]:
         """Blake2s leaf digests for every column of U (canonical limbs)."""
