@@ -35,7 +35,9 @@ import numpy as np
 from ..fields import FIELDS, FieldSpec
 from .ntt import bitrev_permutation
 
-ROW_TILE = 8  # sublane tile of rows per kernel instance
+ROW_TILE = 8  # sublane tile of rows per kernel instance (Mosaic requires
+              # the sublane block dim divisible by 8); the VMEM budget is
+              # raised past the 16 MB default via CompilerParams below.
 
 
 @functools.lru_cache(maxsize=None)
@@ -208,6 +210,8 @@ def _ntt_kernel_factory(field_name: str, n: int, inverse: bool, row_tile: int):
             ],
             out_specs=pl.BlockSpec((L, row_tile, n), lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
         )(x_lbn, tw)
 

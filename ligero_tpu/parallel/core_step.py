@@ -64,7 +64,8 @@ def _column_words(xp, u_canon, four_m: int, L: int):
 
 def make_prover_core(field: FieldSpec, four_m: int, k: int, n: int,
                      unroll: bool | None = None,
-                     row_chunk: int | None = None):
+                     row_chunk: int | None = None,
+                     use_pallas: bool = False):
     """Single-chip jittable core.
 
     Returns ``fn(preenc (4m,k,L) mont, r (4m,L) mont) ->
@@ -95,14 +96,36 @@ def make_prover_core(field: FieldSpec, four_m: int, k: int, n: int,
         u_evals = dom_n.fft_padded(coeffs)
         return u_evals, fk.from_mont(u_evals)
 
-    def fn(preenc, r):
+    def encode_chunked(preenc):
         if unroll and row_chunk and four_m % row_chunk == 0 and four_m > row_chunk:
             blocks = preenc.reshape(four_m // row_chunk, row_chunk, k, L)
             u_evals, u_canon = jax.lax.map(encode_block, blocks)
-            u_evals = u_evals.reshape(four_m, n, L)
-            u_canon = u_canon.reshape(four_m, n, L)
+            return (u_evals.reshape(four_m, n, L),
+                    u_canon.reshape(four_m, n, L))
+        return encode_block(preenc)
+
+    def encode_pallas(preenc):
+        # Pallas VMEM-resident transforms (~40x the XLA butterfly path);
+        # the Montgomery->canonical conversion stays on the chunked XLA path
+        from ..engine.pallas_ntt import ntt_pallas
+        coeffs = ntt_pallas(field, preenc, k, inverse=True)
+        padded = jnp.concatenate(
+            [coeffs, jnp.zeros((four_m, n - k, L), jnp.uint32)], axis=1)
+        u_evals = ntt_pallas(field, padded, n)
+        if row_chunk and four_m % row_chunk == 0 and four_m > row_chunk:
+            u_canon = jax.lax.map(
+                fk.from_mont,
+                u_evals.reshape(four_m // row_chunk, row_chunk, n, L)
+            ).reshape(four_m, n, L)
         else:
-            u_evals, u_canon = encode_block(preenc)
+            u_canon = fk.from_mont(u_evals)
+        return u_evals, u_canon
+
+    def fn(preenc, r):
+        if use_pallas:
+            u_evals, u_canon = encode_pallas(preenc)
+        else:
+            u_evals, u_canon = encode_chunked(preenc)
         words, byte_len = _column_words(jnp, u_canon, four_m, L)
         leaves_le = hk.blake2s(words, byte_len)
         level = _byteswap(leaves_le)
