@@ -49,10 +49,13 @@ def run_bench(four_m: int, k: int, iters: int = 3):
 
     field = BN254_FR
     n = 8 * k
-    # chunked-unrolled is ~2.4x faster at runtime (5.4M vs 2.27M elems/s on
-    # v5e); its remote compile is slow but server-cached across processes.
+    # Measured on v5e (PERF.md): scan core 2.27M elems/s, chunked-unrolled
+    # 5.4M, Pallas-NTT core 18.2M.  Remote compiles are slow cold but
+    # server-cached across processes.
     unroll = os.environ.get("LIGERO_BENCH_UNROLL", "1") == "1"
-    fn = jax.jit(make_prover_core(field, four_m, k, n, unroll=unroll))
+    use_pallas = os.environ.get("LIGERO_BENCH_PALLAS", "1") == "1"
+    fn = jax.jit(make_prover_core(field, four_m, k, n, unroll=unroll,
+                                  use_pallas=use_pallas))
 
     def inputs(seed: int):
         rng = np.random.default_rng(seed)
@@ -65,17 +68,18 @@ def run_bench(four_m: int, k: int, iters: int = 3):
 
     pa, ra = inputs(0)
     t0 = time.time()
-    jax.block_until_ready(fn(pa, ra))
+    _ = np.asarray(fn(pa, ra)[2])  # transfer the root: forces completion
     compile_s = time.time() - t0
 
     best = float("inf")
     for i in range(1, iters + 1):
-        # fresh inputs every iteration: the tunneled execution service
-        # result-caches identical requests, which would fake ~1000x speedups
+        # fresh inputs every iteration (the tunneled execution service
+        # result-caches identical requests) and a forced result transfer
+        # (block_until_ready can return before remote completion)
         pa, ra = inputs(i)
-        jax.block_until_ready((pa, ra))
+        _ = np.asarray(pa[0, 0, :])
         t0 = time.time()
-        jax.block_until_ready(fn(pa, ra))
+        _ = np.asarray(fn(pa, ra)[2])
         best = min(best, time.time() - t0)
 
     elems = four_m * n  # RS-encoded field elements produced per step
