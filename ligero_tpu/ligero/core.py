@@ -261,6 +261,7 @@ class LigeroCircuit:
             raise ValueError(
                 "Uninitialised node: the circuit must only contain nodes the "
                 "outputs depend on")
+        self._warn_bad_outputs([o for o in self.outputs if trace[o] != 1])
         x, y, z, w = [], [], [], []
         for i, (val, node) in enumerate(zip(trace, self.circuit.nodes)):
             if node[0] == CONST and i != 0:
@@ -310,6 +311,15 @@ class LigeroCircuit:
                             sel=sel, is_mul=is_mul, mul_left=mul_left,
                             mul_right=mul_right)
 
+    def _warn_bad_outputs(self, bad_indices):
+        if bad_indices:
+            import warnings
+            warnings.warn(
+                f"witness does not satisfy the circuit: output node(s) "
+                f"{bad_indices[:5]} do not evaluate to 1 — the proof will "
+                f"fail verification (the reference behaves the same way)",
+                stacklevel=4)
+
     def _preenc_mont_limbs_native(self, var_assignment) -> np.ndarray:
         """Evaluate the witness and pack the 4m x k preenc matrix entirely
         in native/numpy code (Montgomery limbs end to end).
@@ -340,6 +350,9 @@ class LigeroCircuit:
             have[np.asarray(var_idx, dtype=np.int64)] = 1
         native.eval_circuit_mont(field, c["kinds"], c["lefts"], c["rights"],
                                  vals, have)
+        one_mont = native.ints_to_u64_limbs([field.R], nl)[0]
+        self._warn_bad_outputs(
+            [o for o in self.outputs if not np.array_equal(vals[o], one_mont)])
 
         mk = self.m * self.k
         sel, is_mul = c["sel"], c["is_mul"]

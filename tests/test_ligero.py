@@ -248,3 +248,23 @@ def test_poseidon_prove_and_verify():
     bad[0] = (bad[0][0], (bad[0][1] + 1) % F.p)
     bad_proof = ligero.prove(bad, sponge.clone())
     assert not ligero.verify(bad_proof, sponge.clone())
+
+
+def test_nonsquare_dimensions_roundtrip():
+    """m < k case (m=3, k=4) — the README quick-start shape."""
+    F = BN254_FR
+    c = ArithmeticCircuit(F)
+    x = c.new_variable_with_label("x")
+    x3 = c.pow(x, 3)
+    c.add(x3, c.constant(-26))
+    lig = LigeroCircuit(c, [c.last()])
+    assert (lig.m, lig.k) == (3, 4)
+    sponge = test_sponge(F)
+    proof = lig.prove_with_labels([("x", 3)], sponge.clone())
+    assert lig.verify(proof, sponge.clone())
+    import warnings as _w
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        bad = lig.prove_with_labels([("x", 4)], sponge.clone())
+    assert any("not satisfy" in str(r.message) for r in rec)
+    assert not lig.verify(bad, sponge.clone())
