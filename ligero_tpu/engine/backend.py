@@ -12,8 +12,6 @@ everything below them is the generic limb kernel code in fieldops/ntt.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 from ..fields import FieldSpec

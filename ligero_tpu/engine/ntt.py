@@ -24,7 +24,6 @@ import functools
 
 import numpy as np
 
-from ..fields import FieldSpec
 from .fieldops import FieldKernel
 
 

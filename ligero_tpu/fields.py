@@ -31,7 +31,7 @@ Field constants were derived and verified numerically:
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -26,8 +26,6 @@ design, not a port.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 from ..engine.fieldops import FieldKernel

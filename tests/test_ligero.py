@@ -268,3 +268,28 @@ def test_nonsquare_dimensions_roundtrip():
         bad = lig.prove_with_labels([("x", 4)], sponge.clone())
     assert any("not satisfy" in str(r.message) for r in rec)
     assert not lig.verify(bad, sponge.clone())
+
+
+def test_transcript_pin():
+    """Golden-hash pin of complete proofs for both fields.
+
+    Locks every bit-exactness-relevant component at once (Montgomery
+    kernels, NTT convention, Poseidon transcript, ChaCha challenge
+    expansion, column hashing, Merkle layout, proof serialization): any
+    accidental semantic change to any of them changes these digests.
+    """
+    import hashlib
+    c = generate_lemniscate_circuit()
+    lig = LigeroCircuit(c, [c.last()])
+    sp = test_sponge(BN254_FR)
+    blob = lig.prove([(1, 8), (2, 4)], sp.clone()).to_bytes(BN254_FR)
+    assert hashlib.sha256(blob).hexdigest() == \
+        "b86d9849cd6a28e3de3ad10513e213e0d581821358b61b7ce0f91ec7c8a443e1"
+
+    x, y = bls_point()
+    c2 = generate_bls12_377_circuit()
+    lig2 = LigeroCircuit(c2, [c2.last()])
+    sp2 = test_sponge(BLS12_377_FQ)
+    blob2 = lig2.prove([(1, x), (2, y)], sp2.clone()).to_bytes(BLS12_377_FQ)
+    assert hashlib.sha256(blob2).hexdigest() == \
+        "baab9bc94f281874ed0e71f54ae5cbc73e2b0bf0465c230f4fd4989c209bedc6"
