@@ -44,12 +44,19 @@ def default_unroll(use_jax: bool) -> bool:
 
 class Backend:
     def __init__(self, field: FieldSpec, use_jax: bool = False,
-                 unroll: bool | None = None):
+                 unroll: bool | None = None,
+                 use_pallas_ntt: bool | None = None):
         self.field = field
         self.use_jax = use_jax
         if unroll is None:
-            unroll = default_unroll(use_jax)
+            # protocol-sized arrays vary wildly; the scan kernels are safe at
+            # any size (bounded live set), and the NTT — the dominant cost —
+            # goes through the Pallas kernel on real accelerators instead
+            unroll = False
         self.unroll = unroll
+        if use_pallas_ntt is None:
+            use_pallas_ntt = default_unroll(use_jax)  # accelerator-only
+        self.use_pallas_ntt = use_pallas_ntt and use_jax
         if use_jax:
             import jax
             import jax.numpy as jnp
@@ -84,28 +91,46 @@ class Backend:
     # ------------------------------------------------------------------
     # protocol building blocks
     # ------------------------------------------------------------------
+    def _fft_padded(self, coeffs, n: int):
+        """fft with zero-extension, routed to Pallas on accelerators."""
+        if self.use_pallas_ntt:
+            from .pallas_ntt import ntt_pallas
+            xp = self.xp
+            k = coeffs.shape[-2]
+            if k < n:
+                pad = xp.zeros(coeffs.shape[:-2] + (n - k, coeffs.shape[-1]),
+                               np.uint32)
+                coeffs = xp.concatenate([coeffs, pad], axis=-2)
+            return ntt_pallas(self.field, coeffs, n)
+        return self.domain(n).fft_padded(coeffs)
+
+    def _ifft(self, evals, n: int):
+        if self.use_pallas_ntt:
+            from .pallas_ntt import ntt_pallas
+            return ntt_pallas(self.field, evals, n, inverse=True)
+        return self.domain(n).ifft(evals)
+
     def rs_encode_rows(self, preenc, k: int, n: int):
         """(B, k, L) message rows -> (coeffs (B,k,L), evals (B,n,L)).
 
         Equivalent to the reference's per-row ifft_k + fft_n
         (/root/reference/src/ligero/mod.rs:998-1012), batched.
         """
-        dom_k, dom_n = self.domain(k), self.domain(n)
 
         def run(x):
-            coeffs = dom_k.ifft(x)
-            evals = dom_n.fft_padded(coeffs)
+            coeffs = self._ifft(x, k)
+            evals = self._fft_padded(coeffs, n)
             return coeffs, evals
 
         return self._jit(("rs", k, n, preenc.shape), run)(self.asarray(preenc))
 
     def ntt(self, coeffs, n: int):
-        dom = self.domain(n)
-        return self._jit(("fft", n, coeffs.shape), dom.fft_padded)(self.asarray(coeffs))
+        return self._jit(("fft", n, coeffs.shape),
+                         lambda x: self._fft_padded(x, n))(self.asarray(coeffs))
 
     def intt(self, evals, n: int):
-        dom = self.domain(n)
-        return self._jit(("ifft", n, evals.shape), dom.ifft)(self.asarray(evals))
+        return self._jit(("ifft", n, evals.shape),
+                         lambda x: self._ifft(x, n))(self.asarray(evals))
 
     def from_mont(self, a):
         return self._jit(("from_mont", a.shape), self.fk.from_mont)(self.asarray(a))
@@ -130,14 +155,12 @@ class Backend:
         reference's poly-mul + sum (/root/reference/src/ligero/mod.rs:731-736)
         — deg q <= 2k-2 so the 2k-point cyclic convolution is exact.
         """
-        dom = self.domain(two_k)
-
         def run(u, r):
-            eu = dom.fft_padded(u)
-            er = dom.fft_padded(r)
+            eu = self._fft_padded(u, two_k)
+            er = self._fft_padded(r, two_k)
             prod = self.fk.mont_mul(eu, er)
             total = self.fk.sum_mod(prod, axis=0)
-            return dom.ifft(total[None])[0]
+            return self._ifft(total[None], two_k)[0]
 
         return self._jit(("linq", two_k, u_coeffs.shape), run)(
             self.asarray(u_coeffs), self.asarray(r_coeffs))
@@ -147,16 +170,14 @@ class Backend:
 
         ``xyz_coeffs`` is (3m, k, L); matches reference mod.rs:845-848.
         """
-        dom = self.domain(two_k)
-
         def run(xyz, r):
             m = xyz.shape[0] // 3
-            ev = dom.fft_padded(xyz)
+            ev = self._fft_padded(xyz, two_k)
             ex, ey, ez = ev[:m], ev[m:2 * m], ev[2 * m:]
             term = self.fk.sub(self.fk.mont_mul(ex, ey), ez)
             weighted = self.fk.mont_mul(r[:, None, :], term)
             total = self.fk.sum_mod(weighted, axis=0)
-            return dom.ifft(total[None])[0]
+            return self._ifft(total[None], two_k)[0]
 
         return self._jit(("quadp", two_k, xyz_coeffs.shape), run)(
             self.asarray(xyz_coeffs), self.asarray(r_quad))

@@ -63,11 +63,9 @@ class NTTPlan:
         self.fk = fk
         self.n = n
         self.inverse = inverse
-        perm, stages, n_inv = _domain_data(fk.field.name, n, inverse)
-        xp = fk.xp
-        self.perm = xp.asarray(perm)
-        self.stages = [xp.asarray(s) for s in stages]
-        self.n_inv = xp.asarray(n_inv)
+        # kept as host numpy: converting inside __call__ makes them trace
+        # constants, so a plan constructed mid-jit never leaks tracers
+        self.perm, self.stages, self.n_inv = _domain_data(fk.field.name, n, inverse)
 
     def __call__(self, x):
         """x: (..., n, L) Montgomery limbs -> (..., n, L)."""
@@ -75,8 +73,9 @@ class NTTPlan:
         n, L = self.n, fk.L
         assert x.shape[-2] == n
         lead = x.shape[:-2]
-        x = xp.take(x, self.perm, axis=-2)
-        for s, tw in enumerate(self.stages):
+        x = xp.take(x, xp.asarray(self.perm), axis=-2)
+        for s, tw_host in enumerate(self.stages):
+            tw = xp.asarray(tw_host)
             m = 2 << s
             half = m // 2
             xr = x.reshape(lead + (n // m, m, L))
@@ -91,7 +90,7 @@ class NTTPlan:
                 import jax
                 x = jax.lax.optimization_barrier(x)
         if self.inverse:
-            x = fk.mont_mul(x, self.n_inv)
+            x = fk.mont_mul(x, xp.asarray(self.n_inv))
         return x
 
 
