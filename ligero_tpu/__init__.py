@@ -1,0 +1,32 @@
+"""ligero-tpu: a TPU-native Ligero SNARK framework (JAX/Pallas + C++ host).
+
+Public API surface:
+
+    from ligero_tpu import (BN254_FR, BLS12_377_FQ, ArithmeticCircuit,
+                            Expression, LigeroCircuit, LigeroProof,
+                            test_sponge)
+"""
+
+from .fields import BLS12_377_FQ, BN254_FR, FIELDS, FieldSpec
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "BN254_FR", "BLS12_377_FQ", "FIELDS", "FieldSpec",
+    "ArithmeticCircuit", "Expression", "LigeroCircuit", "LigeroProof",
+    "test_sponge",
+]
+
+
+def __getattr__(name):
+    # lazy imports keep `import ligero_tpu` light (no jax/ctypes at import)
+    if name in ("ArithmeticCircuit", "Expression"):
+        from . import circuit
+        return getattr(circuit, name)
+    if name in ("LigeroCircuit", "LigeroProof"):
+        from . import ligero
+        return getattr(ligero, name)
+    if name == "test_sponge":
+        from .sponge import test_sponge
+        return test_sponge
+    raise AttributeError(name)
