@@ -132,8 +132,40 @@ class Backend:
         return self._jit(("ifft", n, evals.shape),
                          lambda x: self._ifft(x, n))(self.asarray(evals))
 
+    def _from_mont_chunked(self, a):
+        """Montgomery->canonical with the row axis chunked via lax.map so the
+        scan-kernel carry state stays bounded (~0.5 GB) at any matrix size."""
+        if not self.use_jax or a.ndim != 3:
+            return self.fk.from_mont(a)
+        rows, n, L = a.shape
+        max_chunk = max(1, (1 << 26) // (n * 2 * L * 4))  # ~0.5 GB carries
+        chunk = rows
+        while chunk > max_chunk:
+            chunk //= 2
+        if chunk == rows or rows % chunk:
+            return self.fk.from_mont(a)
+        blocks = a.reshape(rows // chunk, chunk, n, L)
+        return self._jax.lax.map(self.fk.from_mont, blocks).reshape(rows, n, L)
+
     def from_mont(self, a):
-        return self._jit(("from_mont", a.shape), self.fk.from_mont)(self.asarray(a))
+        return self._jit(("from_mont", a.shape),
+                         self._from_mont_chunked)(self.asarray(a))
+
+    def rs_encode_and_canon(self, preenc, k: int, n: int):
+        """Fused encode + Montgomery->canonical: (B,k,L) -> (coeffs, canon).
+
+        The Montgomery-form codeword matrix dies inside the jitted call, so
+        peak HBM is one n-wide matrix lower than calling rs_encode_rows and
+        from_mont separately — the difference between fitting and OOM at
+        the 2^20-gate scale.
+        """
+
+        def run(x):
+            coeffs = self._ifft(x, k)
+            evals = self._fft_padded(coeffs, n)
+            return coeffs, self._from_mont_chunked(evals)
+
+        return self._jit(("rs_canon", k, n, preenc.shape), run)(self.asarray(preenc))
 
     def to_mont(self, a):
         return self._jit(("to_mont", a.shape), self.fk.to_mont)(self.asarray(a))

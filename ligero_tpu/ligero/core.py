@@ -377,8 +377,7 @@ class LigeroCircuit:
 
         # Reed–Solomon encode all rows; commit to columns of U
         with phase_timer.phase("rs_encode"):
-            u_coeffs, u_evals = be.rs_encode_rows(preenc, k, n)
-            u_canon_dev = be.from_mont(u_evals)  # (4m, n, L) canonical
+            u_coeffs, u_canon_dev = be.rs_encode_and_canon(preenc, k, n)
             u_canon = be.to_numpy(u_canon_dev)
 
         with phase_timer.phase("commit"):
