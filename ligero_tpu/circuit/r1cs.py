@@ -137,21 +137,26 @@ def load_witness_wtns(path: str, field: FieldSpec) -> list[int]:
 
 
 def compute_witness_wasm(wasm_path: str, inputs: dict, field: FieldSpec) -> list[int]:
-    """Run a circom witness ``.wasm``.  Requires a WASM runtime (wasmtime),
-    which is not available in this environment — load a ``.wtns`` /
-    ``witness.json`` produced offline instead."""
-    try:
-        import wasmtime  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "No WASM runtime available in this environment; use "
-            "load_witness_wtns/load_witness_json with a precomputed witness"
-        ) from e
-    raise NotImplementedError("wasmtime-based witness runner not yet implemented")
+    """Run a circom witness ``.wasm`` on the in-tree WASM interpreter.
+
+    ``inputs``: signal name -> int or list of ints (circom input.json
+    semantics).  Validated against the reference's checked-in poseidon
+    witness (tests/test_witness_wasm.py).
+    """
+    from .witness import compute_witness
+    return compute_witness(wasm_path, inputs, field)
 
 
-def read_constraint_system(r1cs_path: str, field: FieldSpec) -> ConstraintSystem:
+def read_constraint_system(r1cs_path: str, field: FieldSpec,
+                           wasm_path: str | None = None):
     """Equivalent of the reference's ``read_constraint_system``
-    (/root/reference/src/reader.rs:6-19) minus the witness-wasm setup,
-    which is irrelevant for constraint extraction."""
-    return parse_r1cs(r1cs_path, field)
+    (/root/reference/src/reader.rs:6-19).
+
+    Returns the ConstraintSystem; when ``wasm_path`` is given, also
+    returns a witness-computation closure (the reference's CircomBuilder
+    equivalent): ``(cs, compute)`` with ``compute(inputs) -> list[int]``.
+    """
+    cs = parse_r1cs(r1cs_path, field)
+    if wasm_path is None:
+        return cs
+    return cs, lambda inputs: compute_witness_wasm(wasm_path, inputs, field)
