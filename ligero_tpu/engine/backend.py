@@ -133,19 +133,30 @@ class Backend:
                          lambda x: self._ifft(x, n))(self.asarray(evals))
 
     def _from_mont_chunked(self, a):
-        """Montgomery->canonical with the row axis chunked via lax.map so the
-        scan-kernel carry state stays bounded (~0.5 GB) at any matrix size."""
+        """Montgomery->canonical with the row axis chunked via lax.map.
+
+        Chunking is mandatory above the threshold, with zero-row padding
+        when the row count doesn't divide: besides bounding the scan carry
+        state (~0.5 GB), single buffers over ~2 GB silently produce WRONG
+        results on this TPU backend (observed at 2900x8192x16 limbs, where
+        the 3 GB accumulator corrupted from-mont while smaller shapes were
+        bit-exact)."""
         if not self.use_jax or a.ndim != 3:
             return self.fk.from_mont(a)
         rows, n, L = a.shape
-        max_chunk = max(1, (1 << 26) // (n * 2 * L * 4))  # ~0.5 GB carries
-        chunk = rows
-        while chunk > max_chunk:
-            chunk //= 2
-        if chunk == rows or rows % chunk:
+        chunk = max(1, (1 << 26) // (n * 2 * L * 4))  # ~0.5 GB carries
+        if rows <= chunk:
             return self.fk.from_mont(a)
-        blocks = a.reshape(rows // chunk, chunk, n, L)
-        return self._jax.lax.map(self.fk.from_mont, blocks).reshape(rows, n, L)
+        xp = self.xp
+        pad = (-rows) % chunk
+        if pad:
+            a = xp.concatenate(
+                [a, xp.zeros((pad, n, L), np.uint32)], axis=0)
+        out = self._jax.lax.map(
+            self.fk.from_mont,
+            a.reshape((rows + pad) // chunk, chunk, n, L))
+        out = out.reshape(rows + pad, n, L)
+        return out[:rows] if pad else out
 
     def from_mont(self, a):
         return self._jit(("from_mont", a.shape),
