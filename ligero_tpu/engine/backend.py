@@ -181,66 +181,15 @@ class Backend:
     def to_mont(self, a):
         return self._jit(("to_mont", a.shape), self.fk.to_mont)(self.asarray(a))
 
-    # Maximum batch elements (product of non-limb dims) per scan-mode field
-    # op.  Above roughly 3M elements the tunneled TPU runtime has been
-    # observed to SILENTLY corrupt scan-kernel results (see PERF.md; e.g.
-    # r^T·M at 2900x1024 wrong while 2048x1024 and 2900x512 are bit-exact),
-    # so every bulk op chunks its row axis well below that.
-    _MAX_SCAN_ELEMS = 1 << 21
-
-    def _row_chunks(self, rows: int, per_row_elems: int) -> int:
-        """Rows per chunk keeping chunk * per_row_elems under the cap."""
-        return max(1, self._MAX_SCAN_ELEMS // max(per_row_elems, 1))
-
-    def _map_rows(self, fn, arr, per_row_elems: int):
-        """Apply ``fn`` over row chunks of ``arr`` (axis 0), zero-padding to
-        a whole number of chunks; concatenated result, jit-traceable."""
-        xp = self.xp
-        rows = arr.shape[0]
-        chunk = self._row_chunks(rows, per_row_elems)
-        if not self.use_jax or rows <= chunk:
-            return fn(arr)
-        pad = (-rows) % chunk
-        if pad:
-            arr = xp.concatenate(
-                [arr, xp.zeros((pad,) + arr.shape[1:], arr.dtype)], axis=0)
-        out = self._jax.lax.map(
-            fn, arr.reshape(((rows + pad) // chunk, chunk) + arr.shape[1:]))
-        out = out.reshape((rows + pad,) + out.shape[2:])
-        return out[:rows] if pad else out
-
     def row_combine(self, r, mat):
         """r^T · M for r (B, L), M (B, k, L) -> (k, L); all Montgomery.
 
-        Chunked over rows: per-chunk products + modular partial sums, then
-        an exact modular reduction of the per-chunk partials.
-        """
-        k = mat.shape[1]
-        chunk = self._row_chunks(mat.shape[0], k)
+        mont_mul self-chunks its batch (FieldKernel.MAX_BATCH_ELEMS), so no
+        per-call-site chunking is needed here."""
 
         def run(r_, m_):
-            xp = self.xp
-            rows = m_.shape[0]
-            if not self.use_jax or rows <= chunk:
-                prod = self.fk.mont_mul(r_[:, None, :], m_)
-                return self.fk.sum_mod(prod, axis=0)
-            pad = (-rows) % chunk
-            if pad:
-                m_ = xp.concatenate(
-                    [m_, xp.zeros((pad,) + m_.shape[1:], m_.dtype)], axis=0)
-                r_ = xp.concatenate(
-                    [r_, xp.zeros((pad, r_.shape[1]), r_.dtype)], axis=0)
-            nchunks = (rows + pad) // chunk
-
-            def part(args):
-                rc, mc = args
-                return self.fk.sum_mod(self.fk.mont_mul(rc[:, None, :], mc),
-                                       axis=0)
-
-            partials = self._jax.lax.map(
-                part, (r_.reshape(nchunks, chunk, -1),
-                       m_.reshape((nchunks, chunk) + m_.shape[1:])))
-            return self.fk.sum_mod(partials, axis=0)
+            prod = self.fk.mont_mul(r_[:, None, :], m_)
+            return self.fk.sum_mod(prod, axis=0)
 
         return self._jit(("rowcomb", r.shape, mat.shape), run)(
             self.asarray(r), self.asarray(mat))
@@ -255,32 +204,12 @@ class Backend:
         def run(u, r):
             eu = self._fft_padded(u, two_k)
             er = self._fft_padded(r, two_k)
-            prod = self._pointwise_mul_chunked(eu, er, two_k)
+            prod = self.fk.mont_mul(eu, er)
             total = self.fk.sum_mod(prod, axis=0)
             return self._ifft(total[None], two_k)[0]
 
         return self._jit(("linq", two_k, u_coeffs.shape), run)(
             self.asarray(u_coeffs), self.asarray(r_coeffs))
-
-    def _pointwise_mul_chunked(self, a, b, per_row_elems: int):
-        """Row-chunked Montgomery pointwise product of equal-shape arrays."""
-        xp = self.xp
-        rows = a.shape[0]
-        chunk = self._row_chunks(rows, per_row_elems)
-        if not self.use_jax or rows <= chunk:
-            return self.fk.mont_mul(a, b)
-        pad = (-rows) % chunk
-        if pad:
-            z = xp.zeros((pad,) + a.shape[1:], a.dtype)
-            a = xp.concatenate([a, z], axis=0)
-            b = xp.concatenate([b, z], axis=0)
-        nchunks = (rows + pad) // chunk
-        out = self._jax.lax.map(
-            lambda ab: self.fk.mont_mul(ab[0], ab[1]),
-            (a.reshape((nchunks, chunk) + a.shape[1:]),
-             b.reshape((nchunks, chunk) + b.shape[1:])))
-        out = out.reshape((rows + pad,) + a.shape[1:])
-        return out[:rows] if pad else out
 
     def quadratic_combination_poly(self, xyz_coeffs, r_quad, two_k: int):
         """p0 = sum_i r_i * (px_i * py_i - pz_i) on the 2k domain.
@@ -291,9 +220,8 @@ class Backend:
             m = xyz.shape[0] // 3
             ev = self._fft_padded(xyz, two_k)
             ex, ey, ez = ev[:m], ev[m:2 * m], ev[2 * m:]
-            term = self.fk.sub(self._pointwise_mul_chunked(ex, ey, two_k), ez)
-            weighted = self._pointwise_mul_chunked(
-                self.xp.broadcast_to(r[:, None, :], term.shape), term, two_k)
+            term = self.fk.sub(self.fk.mont_mul(ex, ey), ez)
+            weighted = self.fk.mont_mul(r[:, None, :], term)
             total = self.fk.sum_mod(weighted, axis=0)
             return self._ifft(total[None], two_k)[0]
 

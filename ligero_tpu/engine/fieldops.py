@@ -146,11 +146,48 @@ class FieldKernel:
         res = self.sub(xp.broadcast_to(self.p_limbs, a.shape), a)
         return xp.where(is_zero[..., None], xp.zeros_like(a), res)
 
+    # Per-call batch-element cap for the jax path.  The tunneled TPU runtime
+    # SILENTLY corrupts scan-mode mont_mul above ~3M batch elements
+    # (isolated empirically: wrong at 2900x1024 while 2048x1024 and
+    # 2900x512 are bit-exact; elementwise add at the same shape is fine).
+    # 2^20 keeps every chunk in the validated regime.
+    MAX_BATCH_ELEMS = 1 << 20
+
     def mont_mul(self, a, b):
-        """Montgomery product REDC(a*b): (a*b*R^-1) mod p, shapes broadcast."""
+        """Montgomery product REDC(a*b): (a*b*R^-1) mod p, shapes broadcast.
+
+        Large batches are processed in lax.map chunks (see MAX_BATCH_ELEMS).
+        """
         xp = self.xp
         L = self.L
         a, b = xp.broadcast_arrays(a, b)
+        shape = a.shape
+        batch_elems = 1
+        for d in shape[:-1]:
+            batch_elems *= d
+        if self._is_jax and batch_elems > self.MAX_BATCH_ELEMS:
+            import jax
+            chunk = self.MAX_BATCH_ELEMS
+            fa = a.reshape(-1, L)
+            fb = b.reshape(-1, L)
+            pad = (-batch_elems) % chunk
+            if pad:
+                z = xp.zeros((pad, L), np.uint32)
+                fa = xp.concatenate([fa, z], axis=0)
+                fb = xp.concatenate([fb, z], axis=0)
+            nchunks = (batch_elems + pad) // chunk
+            out = jax.lax.map(
+                lambda ab: self._mont_mul_impl(ab[0], ab[1]),
+                (fa.reshape(nchunks, chunk, L), fb.reshape(nchunks, chunk, L)))
+            out = out.reshape(-1, L)
+            if pad:
+                out = out[:batch_elems]
+            return out.reshape(shape)
+        return self._mont_mul_impl(a, b)
+
+    def _mont_mul_impl(self, a, b):
+        xp = self.xp
+        L = self.L
         batch = a.shape[:-1]
         zeros_col = xp.zeros(batch + (1,), np.uint32)
         zeros_lm1 = xp.zeros(batch + (L - 1,), np.uint32)

@@ -133,3 +133,32 @@ def test_jax_kernels_match_numpy():
     s_np = fk_np.add(prod_np, a_np)
     assert np.array_equal(np.asarray(got_roundtrip), s_np)
     assert np.array_equal(np.asarray(got_canon), fk_np.from_mont(prod_np))
+
+
+def test_jax_mont_mul_chunked_path():
+    """The lax.map chunking inside mont_mul must be bit-exact (forced small
+    cap so the chunked branch runs hermetically on CPU, incl. padding)."""
+    import jax.numpy as jnp
+
+    field = BN254_FR
+    fk_np = FieldKernel(field, np)
+    fk_jx = FieldKernel(field, jnp)
+    old = FieldKernel.MAX_BATCH_ELEMS
+    FieldKernel.MAX_BATCH_ELEMS = 64  # force chunking at tiny sizes
+    try:
+        rng = random.Random(33)
+        # 150 elements: 64+64+22 -> exercises padding of the last chunk
+        a_int = [rng.randrange(field.p) for _ in range(150)]
+        b_int = [rng.randrange(field.p) for _ in range(150)]
+        a = field.ints_to_mont_limbs(a_int)
+        b = field.ints_to_mont_limbs(b_int)
+        got = np.asarray(fk_jx.mont_mul(jnp.asarray(a), jnp.asarray(b)))
+        assert np.array_equal(got, fk_np.mont_mul(a, b))
+        # 2-D batch with broadcasting, also chunked
+        m = field.ints_to_mont_limbs(
+            [rng.randrange(field.p) for _ in range(10 * 16)]).reshape(10, 16, -1)
+        r = field.ints_to_mont_limbs([rng.randrange(field.p) for _ in range(10)])
+        got = np.asarray(fk_jx.mont_mul(jnp.asarray(r)[:, None, :], jnp.asarray(m)))
+        assert np.array_equal(got, fk_np.mont_mul(r[:, None, :], m))
+    finally:
+        FieldKernel.MAX_BATCH_ELEMS = old
