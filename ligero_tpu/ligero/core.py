@@ -494,10 +494,27 @@ class LigeroCircuit:
     # verifier (reference mod.rs:613-996)
     # ------------------------------------------------------------------
     def verify(self, proof: LigeroProof, sponge) -> bool:
+        if not self._well_formed(proof):
+            return False
         sponge.absorb_bytes(proof.u_root)  # FS #1
         return (self._verify_interleaved(proof.interleaved, proof.u_root, sponge)
                 and self._verify_linear(proof.linear, proof.u_root, sponge)
                 and self._verify_quadratic(proof.quadratic, proof.u_root, sponge))
+
+    def _well_formed(self, proof: LigeroProof) -> bool:
+        """Structural validation of an untrusted proof: malformed shapes
+        return False instead of crashing downstream reshapes/indexing
+        (robustness gate in front of the untrusted ``from_bytes`` path;
+        the reference's in-memory-only proofs never face this)."""
+        four_m = 4 * self.m
+        if len(proof.interleaved.preenc_u_lc) != self.k:
+            return False
+        for sub in (proof.interleaved, proof.linear, proof.quadratic):
+            if len(sub.columns) != len(sub.paths):
+                return False
+            if any(len(col) != four_m for col in sub.columns):
+                return False
+        return True
 
     def _verify_column_openings(self, columns, paths, u_root, sponge) -> bool:
         seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)

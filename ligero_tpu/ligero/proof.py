@@ -90,11 +90,16 @@ class LigeroProof:
 
     @classmethod
     def from_bytes(cls, data: bytes, field: FieldSpec) -> "LigeroProof":
+        """Rejecting deserializer (ark ``CanonicalDeserialize`` discipline):
+        truncated buffers and non-canonical field encodings (>= p) raise
+        ``ValueError`` instead of silently yielding malleable proofs."""
         sz = field.serialized_size
         pos = 0
 
         def get_u64():
             nonlocal pos
+            if pos + 8 > len(data):
+                raise ValueError("truncated proof buffer")
             v, = struct.unpack_from("<Q", data, pos)
             pos += 8
             return v
@@ -102,6 +107,8 @@ class LigeroProof:
         def get_bytes():
             nonlocal pos
             n = get_u64()
+            if pos + n > len(data):
+                raise ValueError("truncated proof buffer")
             b = data[pos:pos + n]
             pos += n
             return b
@@ -109,9 +116,13 @@ class LigeroProof:
         def get_fvec():
             nonlocal pos
             n = get_u64()
+            if pos + n * sz > len(data):
+                raise ValueError("truncated proof buffer")
             v = [int.from_bytes(data[pos + i * sz:pos + (i + 1) * sz], "little")
                  for i in range(n)]
             pos += n * sz
+            if any(x >= field.p for x in v):
+                raise ValueError("non-canonical field element (>= p)")
             return v
 
         def get_paths():

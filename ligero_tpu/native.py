@@ -22,8 +22,16 @@ _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 _BUILD_DIR = os.path.join(os.path.dirname(_SRC), "build")
 _LIB_PATH = os.path.join(_BUILD_DIR, "libligero_host.so")
 
+_HASH_PATH = _LIB_PATH + ".srchash"
+
 _lib = None
 _tried = False
+
+
+def _src_hash() -> str:
+    import hashlib
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
 
 
 def _load() -> ctypes.CDLL | None:
@@ -32,13 +40,22 @@ def _load() -> ctypes.CDLL | None:
         return _lib
     _tried = True
     try:
-        if (not os.path.exists(_LIB_PATH)
-                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+        # Reuse the cached .so only if it was built from exactly this
+        # source (content hash recorded at build time) — a stale or
+        # foreign binary must never be silently loaded into the prover.
+        want = _src_hash()
+        have = None
+        if os.path.exists(_LIB_PATH) and os.path.exists(_HASH_PATH):
+            with open(_HASH_PATH) as f:
+                have = f.read().strip()
+        if have != want:
             os.makedirs(_BUILD_DIR, exist_ok=True)
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
                  "-o", _LIB_PATH, _SRC],
                 check=True, capture_output=True)
+            with open(_HASH_PATH, "w") as f:
+                f.write(want)
         lib = ctypes.CDLL(_LIB_PATH)
         u64p = ctypes.POINTER(ctypes.c_uint64)
         i64p = ctypes.POINTER(ctypes.c_int64)

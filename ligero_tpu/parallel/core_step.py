@@ -164,6 +164,12 @@ def make_sharded_prover_core(field: FieldSpec, mesh, four_m: int, k: int, n: int
     num_devices = mesh.shape["rows"]
     assert four_m % num_devices == 0, "4m must divide the mesh"
     assert n % num_devices == 0, "n must divide the mesh"
+    # the pairwise Merkle reductions (local subtree + gathered-roots top)
+    # assume power-of-two node counts at every level
+    assert num_devices & (num_devices - 1) == 0, \
+        "device count must be a power of two"
+    assert (n // num_devices) & (n // num_devices - 1) == 0, \
+        "per-device leaf count must be a power of two"
 
     def local_step(preenc_block, r_block):
         # ---- per-chip RS encoding of the local row block (no comms)

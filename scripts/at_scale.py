@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""At-scale end-to-end prove+verify validation on the default JAX device.
+
+Runs (BASELINE.json config #5 at reduced and full scale):
+
+  1. the on-device corruption canary: mont_mul at a previously-failing
+     shape (2900x1024, the silent-corruption regime isolated in round 1)
+     bit-compared against the host golden kernel on sampled rows;
+  2. synthetic 2^N-gate random R1CS end-to-end prove + verify with
+     per-phase wall times and proofs/s.
+
+Usage:  python scripts/at_scale.py [--sizes 17,19] [--out atscale.json]
+
+Matches the reference pipeline /root/reference/src/ligero/mod.rs:435-644
+at scale; the reference itself is single-process CPU and publishes no
+numbers at any scale (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(msg: str) -> None:
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def corruption_canary() -> dict:
+    """Device mont_mul at 2900x1024 (the round-1 silent-corruption shape)
+    bit-compared against the host golden on 32 sampled rows."""
+    import jax
+    import jax.numpy as jnp
+
+    from ligero_tpu.engine.fieldops import FieldKernel
+    from ligero_tpu.fields import BN254_FR
+
+    field = BN254_FR
+    rng = np.random.default_rng(20240817)
+    rows, cols = 2900, 1024
+
+    def rand_limbs(count):
+        ints = [int(x) for x in rng.integers(0, 2 ** 63, count)]
+        return field.ints_to_mont_limbs(ints)
+
+    t0 = time.time()
+    a = rand_limbs(rows * cols).reshape(rows, cols, -1)
+    b = rand_limbs(rows * cols).reshape(rows, cols, -1)
+    fk_dev = FieldKernel(field, jnp, unroll=False)
+    dev = np.asarray(jax.jit(fk_dev.mont_mul)(jnp.asarray(a), jnp.asarray(b)))
+
+    fk_host = FieldKernel(field, np)
+    check_rows = np.linspace(0, rows - 1, 32, dtype=np.int64)
+    host = fk_host.mont_mul(a[check_rows], b[check_rows])
+    ok = bool(np.array_equal(host, dev[check_rows]))
+    elapsed = time.time() - t0
+    log(f"canary: mont_mul {rows}x{cols} sampled-row bit-compare "
+        f"{'OK' if ok else 'FAILED'} ({elapsed:.1f}s)")
+    if not ok:
+        bad = np.nonzero(~np.all(host == dev[check_rows], axis=-1))
+        log(f"canary mismatch at (row,col) samples: "
+            f"{list(zip(*[x[:5] for x in bad]))}")
+        raise SystemExit("CANARY FAILED: on-device mont_mul corruption")
+    return {"canary": "ok", "canary_s": round(elapsed, 1)}
+
+
+def run_scale(log2_gates: int) -> dict:
+    from ligero_tpu.engine.backend import get_backend
+    from ligero_tpu.fields import BN254_FR
+    from ligero_tpu.ligero import LigeroCircuit
+    from ligero_tpu.sponge import test_sponge
+    from ligero_tpu.synthetic import generate_random_circuit
+    from ligero_tpu.utils.profiling import phase_timer
+
+    F = BN254_FR
+    num_gates = 1 << log2_gates
+    log(f"=== 2^{log2_gates} gates ===")
+
+    t0 = time.time()
+    c, outputs, vars_ = generate_random_circuit(F, num_gates, num_vars=64,
+                                                seed=6)
+    gen_s = time.time() - t0
+    log(f"circuit generated ({gen_s:.1f}s, {c.num_nodes()} nodes)")
+
+    t0 = time.time()
+    ligero = LigeroCircuit(c, outputs, backend=get_backend(F, use_jax=True))
+    compile_s = time.time() - t0
+    log(f"LigeroCircuit built ({compile_s:.1f}s): m={ligero.m} k={ligero.k} "
+        f"n={ligero.n} t={ligero.t} (U is {4*ligero.m}x{ligero.n})")
+
+    sponge = test_sponge(F)
+    phase_timer.enabled = True
+    phase_timer.reset()
+    t0 = time.time()
+    proof = ligero.prove(vars_, sponge.clone())
+    prove_s = time.time() - t0
+    phases = dict(phase_timer.totals)
+    log(f"prove: {prove_s:.1f}s")
+    for name, secs in sorted(phases.items(), key=lambda kv: -kv[1]):
+        log(f"  {name:24s} {secs:8.2f}s")
+
+    t0 = time.time()
+    ok = ligero.verify(proof, sponge.clone())
+    verify_s = time.time() - t0
+    log(f"verify: {ok} ({verify_s:.1f}s)")
+    if not ok:
+        raise SystemExit(f"VERIFY FAILED at 2^{log2_gates}")
+
+    # tamper negative: perturb the first witness value
+    t0 = time.time()
+    bad_vars = [(vars_[0][0], (vars_[0][1] + 1) % F.p)] + vars_[1:]
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        bad_proof = ligero.prove(bad_vars, sponge.clone())
+    bad_ok = ligero.verify(bad_proof, sponge.clone())
+    log(f"tamper negative: verify={bad_ok} (expect False, "
+        f"{time.time()-t0:.1f}s)")
+    if bad_ok:
+        raise SystemExit(f"TAMPERED PROOF VERIFIED at 2^{log2_gates}")
+
+    rs_elems = 4 * ligero.m * ligero.n
+    return {
+        "log2_gates": log2_gates,
+        "m": ligero.m, "k": ligero.k, "n": ligero.n, "t": ligero.t,
+        "gen_s": round(gen_s, 1),
+        "build_s": round(compile_s, 1),
+        "prove_s": round(prove_s, 2),
+        "verify_s": round(verify_s, 2),
+        "proofs_per_s": round(1.0 / prove_s, 5),
+        "rs_elems_per_s": round(rs_elems / prove_s, 0),
+        "phases_s": {k: round(v, 2) for k, v in phases.items()},
+        "verified": ok,
+        "tamper_rejected": not bad_ok,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="17,19")
+    ap.add_argument("--out", default="atscale.json")
+    ap.add_argument("--no-canary", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    platform = jax.devices()[0].platform
+    log(f"platform: {platform} ({jax.devices()})")
+
+    results = {"platform": platform}
+    if not args.no_canary:
+        results.update(corruption_canary())
+    results["runs"] = []
+    for size in [int(s) for s in args.sizes.split(",")]:
+        results["runs"].append(run_scale(size))
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+    log(f"wrote {args.out}")
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -293,3 +293,49 @@ def test_transcript_pin():
     blob2 = lig2.prove([(1, x), (2, y)], sp2.clone()).to_bytes(BLS12_377_FQ)
     assert hashlib.sha256(blob2).hexdigest() == \
         "baab9bc94f281874ed0e71f54ae5cbc73e2b0bf0465c230f4fd4989c209bedc6"
+
+
+def test_proof_deserializer_rejects_malformed():
+    """from_bytes is a rejecting deserializer (ark discipline): truncated
+    buffers and non-canonical (>= p) elements raise instead of yielding
+    malleable proofs."""
+    F = BN254_FR
+    circuit = generate_lemniscate_circuit()
+    lig = LigeroCircuit(circuit, [circuit.last()])
+    sp = test_sponge(F)
+    proof = lig.prove([(1, 8), (2, 4)], sp.clone())
+    blob = proof.to_bytes(F)
+    with pytest.raises(ValueError):
+        LigeroProof.from_bytes(blob[: len(blob) // 2], F)
+    # non-canonical encoding: overwrite the first preenc_u_lc element with p
+    sz = F.serialized_size
+    root_len = int.from_bytes(blob[:8], "little")
+    fvec_off = 8 + root_len + 8  # root length+bytes, then the lc count
+    bad = bytearray(blob)
+    bad[fvec_off:fvec_off + sz] = F.p.to_bytes(sz, "little")
+    with pytest.raises(ValueError):
+        LigeroProof.from_bytes(bytes(bad), F)
+
+
+def test_verify_rejects_structurally_malformed():
+    """Structural damage (wrong vector lengths) must yield False from
+    verify(), never an exception."""
+    import copy
+
+    F = BN254_FR
+    circuit = generate_lemniscate_circuit()
+    lig = LigeroCircuit(circuit, [circuit.last()])
+    sp = test_sponge(F)
+    proof = lig.prove([(1, 8), (2, 4)], sp.clone())
+
+    short_lc = copy.deepcopy(proof)
+    short_lc.interleaved.preenc_u_lc = short_lc.interleaved.preenc_u_lc[:-1]
+    assert lig.verify(short_lc, sp.clone()) is False
+
+    short_col = copy.deepcopy(proof)
+    short_col.quadratic.columns[0] = short_col.quadratic.columns[0][:-3]
+    assert lig.verify(short_col, sp.clone()) is False
+
+    missing_path = copy.deepcopy(proof)
+    missing_path.linear.paths = missing_path.linear.paths[:-1]
+    assert lig.verify(missing_path, sp.clone()) is False
