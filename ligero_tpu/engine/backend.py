@@ -173,6 +173,17 @@ class Backend:
 
         def run(x):
             coeffs = self._ifft(x, k)
+            if self.use_pallas_ntt:
+                # fused epilogue: the n-point NTT emits canonical limbs
+                # directly (REDC-by-one inside the kernel), skipping the
+                # whole separate from-mont pass over the n-wide matrix
+                from .pallas_ntt import ntt_pallas
+                xp = self.xp
+                padded = xp.concatenate(
+                    [coeffs, xp.zeros(coeffs.shape[:-2] + (n - k, coeffs.shape[-1]),
+                                      np.uint32)], axis=-2)
+                return coeffs, ntt_pallas(self.field, padded, n,
+                                          from_mont_out=True)
             evals = self._fft_padded(coeffs, n)
             return coeffs, self._from_mont_chunked(evals)
 
@@ -251,15 +262,25 @@ class Backend:
 
         def run(u):
             xp = self.xp
-            # serialize each column: u64-LE length prefix + canonical LE
-            # bytes per element (= packed 16-bit limb pairs)
-            cols = xp.moveaxis(u, 1, 0)  # (n, 4m, L)
-            packed = cols[..., 0::2] | (cols[..., 1::2] << np.uint32(16))
-            words = packed.reshape(n, -1)
-            pre = xp.broadcast_to(xp.asarray(prefix), (n, 2))
-            words = xp.concatenate(
-                [pre, words, xp.zeros((n, pad_words), np.uint32)], axis=-1)
-            leaves_le = self.hk.blake2s(words, byte_len)   # (n, 8) LE words
+            if self.use_pallas_ntt:
+                from . import pallas_hash
+                use_pallas_hash = pallas_hash.supports_shape(n)
+            else:
+                use_pallas_hash = False
+            if use_pallas_hash:
+                # Pallas column hashing: tiles of 1024 columns ride VPU
+                # lanes, chaining state persists in VMEM scratch
+                leaves_le = pallas_hash.blake2s_columns_pallas(u, four_m)
+            else:
+                # serialize each column: u64-LE length prefix + canonical LE
+                # bytes per element (= packed 16-bit limb pairs)
+                cols = xp.moveaxis(u, 1, 0)  # (n, 4m, L)
+                packed = cols[..., 0::2] | (cols[..., 1::2] << np.uint32(16))
+                words = packed.reshape(n, -1)
+                pre = xp.broadcast_to(xp.asarray(prefix), (n, 2))
+                words = xp.concatenate(
+                    [pre, words, xp.zeros((n, pad_words), np.uint32)], axis=-1)
+                leaves_le = self.hk.blake2s(words, byte_len)  # (n, 8) LE words
             level = byteswap(leaves_le)                    # BE words for sha
             levels = []
             while level.shape[0] > 1:

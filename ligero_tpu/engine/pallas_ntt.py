@@ -66,7 +66,8 @@ def _twiddle_table(field_name: str, n: int, inverse: bool) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _ntt_kernel_factory(field_name: str, n: int, inverse: bool, row_tile: int):
+def _ntt_kernel_factory(field_name: str, n: int, inverse: bool, row_tile: int,
+                        from_mont_out: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -190,6 +191,14 @@ def _ntt_kernel_factory(field_name: str, n: int, inverse: bool, row_tile: int):
             x = jnp.where(bit_set[None], sub_mod(lo, prod), add_mod(lo, prod))
         if inverse:
             x = mont_mul_const(x, n_inv_limbs)
+        if from_mont_out:
+            # fused Montgomery->canonical epilogue: REDC(x * 1) is REDC of
+            # the zero-extended accumulator — one extra reduction per
+            # element instead of a whole separate HBM round-trip kernel
+            zero_row = jnp.zeros_like(x[0:1])
+            acc = jnp.concatenate(
+                [x, jnp.zeros((L,) + x.shape[1:], jnp.uint32)], axis=0)
+            x = _redc(acc, zero_row)
         out_ref[:, :, :] = x
 
     def run(x_lbn, interpret=False):
@@ -219,11 +228,14 @@ def _ntt_kernel_factory(field_name: str, n: int, inverse: bool, row_tile: int):
 
 
 def ntt_pallas(field: FieldSpec, x, n: int, inverse: bool = False,
-               interpret: bool = False, row_tile: int = ROW_TILE):
+               interpret: bool = False, row_tile: int = ROW_TILE,
+               from_mont_out: bool = False):
     """Batched NTT on ``(B, n, L)`` Montgomery arrays via the Pallas kernel.
 
     Handles the layout transposes and bit-reversal at the boundary;
     ``(L, B, n)``-native pipelines should call the factory directly.
+    ``from_mont_out`` additionally converts the result to canonical form
+    in-kernel (for feeding the commitment hash directly).
     """
     import jax.numpy as jnp
 
@@ -236,7 +248,7 @@ def ntt_pallas(field: FieldSpec, x, n: int, inverse: bool = False,
         x_lbn = jnp.concatenate(
             [x_lbn, jnp.zeros((x_lbn.shape[0], pad_rows, n), jnp.uint32)],
             axis=1)
-    run = _ntt_kernel_factory(field.name, n, inverse, row_tile)
+    run = _ntt_kernel_factory(field.name, n, inverse, row_tile, from_mont_out)
     out = run(x_lbn, interpret=interpret)
     if pad_rows:
         out = out[:, :B, :]

@@ -63,26 +63,37 @@ def _column_words(xp, u_canon, four_m: int, L: int):
 def make_prover_core(field: FieldSpec, four_m: int, k: int, n: int,
                      unroll: bool | None = None,
                      row_chunk: int | None = None,
-                     use_pallas: bool = False):
+                     use_pallas: bool = False,
+                     use_pallas_hash: bool | None = None):
     """Single-chip jittable core.
 
     Returns ``fn(preenc (4m,k,L) mont, r (4m,L) mont) ->
-    (u_evals (4m,n,L) mont, leaves_le (n,8), root_be (8,), lc (k,L) mont)``.
+    (u_canon (4m,n,L) canonical, leaves_le (n,8), root_be (8,), lc (k,L) mont)``.
 
     ``row_chunk``: in unroll mode, process the (independent) rows of the
     RS-encode phase in chunks via ``lax.map`` — the unrolled limb graph
     fuses into few kernels per chunk while peak HBM stays bounded at
     ``O(row_chunk * n * L)`` instead of the scheduler keeping dozens of
     full-matrix temporaries alive.
+
+    ``use_pallas``: VMEM-resident Pallas NTTs with the Montgomery->
+    canonical conversion fused into the final transform's epilogue (one
+    HBM round-trip less than a separate conversion pass).
+    ``use_pallas_hash``: Blake2s column hashing in Pallas (column tiles
+    ride VPU lanes, chaining state lives in VMEM scratch); defaults to
+    following ``use_pallas`` when the shape allows it.
     """
     import jax
     import jax.numpy as jnp
 
     from ..engine.backend import default_unroll
+    from ..engine import pallas_hash
     if unroll is None:
         unroll = default_unroll(True)
     if row_chunk is None and unroll:
         row_chunk = max(1, min(four_m, (1 << 24) // (n * field.num_limbs)))
+    if use_pallas_hash is None:
+        use_pallas_hash = use_pallas and pallas_hash.supports_shape(n)
     fk = FieldKernel(field, jnp, unroll=unroll)
     hk = HashKernel(jnp, unroll=unroll)
     dom_k = DomainOps(fk, k)
@@ -92,46 +103,35 @@ def make_prover_core(field: FieldSpec, four_m: int, k: int, n: int,
     def encode_block(block):
         coeffs = dom_k.ifft(block)
         u_evals = dom_n.fft_padded(coeffs)
-        return u_evals, fk.from_mont(u_evals)
+        return fk.from_mont(u_evals)
 
     def encode_chunked(preenc):
         if unroll and row_chunk and four_m % row_chunk == 0 and four_m > row_chunk:
             blocks = preenc.reshape(four_m // row_chunk, row_chunk, k, L)
-            u_evals, u_canon = jax.lax.map(encode_block, blocks)
-            return (u_evals.reshape(four_m, n, L),
-                    u_canon.reshape(four_m, n, L))
+            u_canon = jax.lax.map(encode_block, blocks)
+            return u_canon.reshape(four_m, n, L)
         return encode_block(preenc)
 
     def encode_pallas(preenc):
-        # Pallas VMEM-resident transforms (~40x the XLA butterfly path);
-        # the Montgomery->canonical conversion stays on the chunked XLA path
         from ..engine.pallas_ntt import ntt_pallas
         coeffs = ntt_pallas(field, preenc, k, inverse=True)
         padded = jnp.concatenate(
             [coeffs, jnp.zeros((four_m, n - k, L), jnp.uint32)], axis=1)
-        u_evals = ntt_pallas(field, padded, n)
-        if row_chunk and four_m % row_chunk == 0 and four_m > row_chunk:
-            u_canon = jax.lax.map(
-                fk.from_mont,
-                u_evals.reshape(four_m // row_chunk, row_chunk, n, L)
-            ).reshape(four_m, n, L)
-        else:
-            u_canon = fk.from_mont(u_evals)
-        return u_evals, u_canon
+        return ntt_pallas(field, padded, n, from_mont_out=True)
 
     def fn(preenc, r):
-        if use_pallas:
-            u_evals, u_canon = encode_pallas(preenc)
+        u_canon = encode_pallas(preenc) if use_pallas else encode_chunked(preenc)
+        if use_pallas_hash:
+            leaves_le = pallas_hash.blake2s_columns_pallas(u_canon, four_m)
         else:
-            u_evals, u_canon = encode_chunked(preenc)
-        words, byte_len = _column_words(jnp, u_canon, four_m, L)
-        leaves_le = hk.blake2s(words, byte_len)
+            words, byte_len = _column_words(jnp, u_canon, four_m, L)
+            leaves_le = hk.blake2s(words, byte_len)
         level = _byteswap(leaves_le)
         while level.shape[0] > 1:
             level = hk.sha256_two_to_one(level[0::2], level[1::2])
         root = level[0]
         lc = fk.sum_mod(fk.mont_mul(r[:, None, :], preenc), axis=0)
-        return u_evals, leaves_le, root, lc
+        return u_canon, leaves_le, root, lc
 
     return fn
 
@@ -175,7 +175,7 @@ def make_sharded_prover_core(field: FieldSpec, mesh, four_m: int, k: int, n: int
         # ---- per-chip RS encoding of the local row block (no comms)
         coeffs = dom_k.ifft(preenc_block)
         u_evals = dom_n.fft_padded(coeffs)          # (4m/D, n, L)
-        u_canon = fk.from_mont(u_evals)
+        u_canon = fk.from_mont(u_evals)             # (canonical; returned)
 
         # ---- row-shard -> column-shard over ICI
         # (4m/D, n, L) -> split n into D chunks -> all_to_all -> (4m, n/D, L)
@@ -206,7 +206,7 @@ def make_sharded_prover_core(field: FieldSpec, mesh, four_m: int, k: int, n: int
                              axis=0)                  # (k, L), local mod-p sum
         partials = jax.lax.all_gather(partial, "rows")  # (D, k, L)
         lc = fk.sum_mod(partials, axis=0)
-        return u_evals, leaves_le, root, lc
+        return u_canon, leaves_le, root, lc
 
     spec_rows = P("rows", None, None)
     spec_cols_leaf = P("rows", None)

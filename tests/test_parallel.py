@@ -29,7 +29,7 @@ def _host_reference(preenc, r, four_m, k, n):
     leaves = [column_hash(F, F.limbs_to_ints(u_canon[:, j, :])) for j in range(n)]
     tree = MerkleTree(leaves)
     lc = be.row_combine(r, preenc)
-    return evals, leaves, tree.root, lc
+    return u_canon, leaves, tree.root, lc
 
 
 def test_single_chip_core_matches_host():
@@ -41,10 +41,10 @@ def test_single_chip_core_matches_host():
     n = 8 * k
     preenc, r = _random_inputs(four_m, k)
     fn = make_prover_core(F, four_m, k, n)
-    u_evals, leaves_le, root, lc = jax.jit(fn)(preenc, r)
+    u_canon, leaves_le, root, lc = jax.jit(fn)(preenc, r)
 
-    h_evals, h_leaves, h_root, h_lc = _host_reference(preenc, r, four_m, k, n)
-    assert np.array_equal(np.asarray(u_evals), h_evals)
+    h_canon, h_leaves, h_root, h_lc = _host_reference(preenc, r, four_m, k, n)
+    assert np.array_equal(np.asarray(u_canon), h_canon)
     assert [words_to_le_bytes(w) for w in np.asarray(leaves_le)] == h_leaves
     assert be_words_to_bytes(np.asarray(root)) == h_root
     assert np.array_equal(np.asarray(lc), h_lc)
@@ -65,12 +65,12 @@ def test_sharded_core_matches_host(n_devices):
     mesh = Mesh(np.array(jax.devices()[:n_devices]), axis_names=("rows",))
     fn = make_sharded_prover_core(F, mesh, four_m, k, n)
     with mesh:
-        u_evals, leaves_le, root, lc = jax.jit(fn)(
+        u_canon, leaves_le, root, lc = jax.jit(fn)(
             jnp.asarray(preenc), jnp.asarray(r))
-        jax.block_until_ready((u_evals, leaves_le, root, lc))
+        jax.block_until_ready((u_canon, leaves_le, root, lc))
 
-    h_evals, h_leaves, h_root, h_lc = _host_reference(preenc, r, four_m, k, n)
-    assert np.array_equal(np.asarray(u_evals), h_evals)
+    h_canon, h_leaves, h_root, h_lc = _host_reference(preenc, r, four_m, k, n)
+    assert np.array_equal(np.asarray(u_canon), h_canon)
     assert [words_to_le_bytes(w) for w in np.asarray(leaves_le)] == h_leaves
     assert be_words_to_bytes(np.asarray(root)) == h_root
     assert np.array_equal(np.asarray(lc), h_lc)
