@@ -128,6 +128,41 @@ class Backend:
         return self._jit(("fft", n, coeffs.shape),
                          lambda x: self._fft_padded(x, n))(self.asarray(coeffs))
 
+    def ntt_columns(self, coeffs, n: int, js: np.ndarray) -> np.ndarray:
+        """Evaluate all B rows' n-point NTTs but return only columns ``js``:
+        (B, k, L) -> (B, len(js), L) numpy.
+
+        The verifier's spot checks need the 4m r_i codewords only at the t
+        opened columns (reference mod.rs:815-829 computes all n per row);
+        gathering on-device keeps the full (B, n, L) matrix out of both
+        HBM-resident memory (row chunks respect the buffer budget) and the
+        host transfer.
+        """
+        js = np.ascontiguousarray(np.asarray(js, dtype=np.int32))
+        B, _, L = coeffs.shape
+
+        def run(x):
+            ev = self._fft_padded(x, n)
+            return self.xp.take(ev, self.xp.asarray(js), axis=1)
+
+        if self.use_jax and B * n * L * 4 > self.MAX_DEVICE_BYTES:
+            chunk = max(8, self.MAX_DEVICE_BYTES // (n * L * 4))
+            host = np.asarray(coeffs)
+            out = np.empty((B, len(js), L), np.uint32)
+            for i in range(0, B, chunk):
+                blk = host[i:i + chunk]
+                rows = blk.shape[0]
+                if rows < chunk:
+                    blk = np.concatenate(
+                        [blk, np.zeros((chunk - rows,) + blk.shape[1:], np.uint32)])
+                res = self._jit(("fft_cols", n, blk.shape, js.tobytes()), run)(
+                    self.asarray(blk))
+                out[i:i + rows] = self.to_numpy(res)[:rows]
+            return out
+        return self.to_numpy(
+            self._jit(("fft_cols", n, coeffs.shape, js.tobytes()), run)(
+                self.asarray(coeffs)))
+
     def intt(self, evals, n: int):
         return self._jit(("ifft", n, evals.shape),
                          lambda x: self._ifft(x, n))(self.asarray(evals))
@@ -210,14 +245,41 @@ class Backend:
 
         Returns the 2k coefficient rows of q (Montgomery).  Matches the
         reference's poly-mul + sum (/root/reference/src/ligero/mod.rs:731-736)
-        — deg q <= 2k-2 so the 2k-point cyclic convolution is exact.
+        — deg q <= 2k-2 so the 2k-point cyclic convolution is exact.  Rows
+        are summed, so large matrices stream in row chunks with a tiny
+        (2k, L) partial per chunk (buffer-budget bound; zero-padded rows
+        contribute zero).
         """
-        def run(u, r):
+        def partial(u, r):
             eu = self._fft_padded(u, two_k)
             er = self._fft_padded(r, two_k)
             prod = self.fk.mont_mul(eu, er)
-            total = self.fk.sum_mod(prod, axis=0)
+            return self.fk.sum_mod(prod, axis=0)
+
+        def finish(total):
             return self._ifft(total[None], two_k)[0]
+
+        B, _, L = u_coeffs.shape
+        if self.use_jax and B * two_k * L * 4 > self.MAX_DEVICE_BYTES:
+            chunk = max(8, self.MAX_DEVICE_BYTES // (two_k * L * 4))
+            u_host, r_host = np.asarray(u_coeffs), np.asarray(r_coeffs)
+            parts = []
+            for i in range(0, B, chunk):
+                ub, rb = u_host[i:i + chunk], r_host[i:i + chunk]
+                if ub.shape[0] < chunk:
+                    pad = chunk - ub.shape[0]
+                    ub = np.concatenate(
+                        [ub, np.zeros((pad,) + ub.shape[1:], np.uint32)])
+                    rb = np.concatenate(
+                        [rb, np.zeros((pad,) + rb.shape[1:], np.uint32)])
+                parts.append(self._jit(("linq_part", two_k, ub.shape), partial)(
+                    self.asarray(ub), self.asarray(rb)))
+            total = self._jit(("linq_sum", two_k, len(parts)),
+                              lambda ps: self.fk.sum_mod(self.xp.stack(ps), axis=0))(parts)
+            return self._jit(("linq_fin", two_k), finish)(total)
+
+        def run(u, r):
+            return finish(partial(u, r))
 
         return self._jit(("linq", two_k, u_coeffs.shape), run)(
             self.asarray(u_coeffs), self.asarray(r_coeffs))
@@ -226,9 +288,46 @@ class Backend:
         """p0 = sum_i r_i * (px_i * py_i - pz_i) on the 2k domain.
 
         ``xyz_coeffs`` is (3m, k, L); matches reference mod.rs:845-848.
+        Streams in m-chunks when large (same budget rule as
+        ``linear_combination_poly``; padded rows are exact zeros).
         """
+        def partial(x, y, z, r):
+            ex = self._fft_padded(x, two_k)
+            ey = self._fft_padded(y, two_k)
+            ez = self._fft_padded(z, two_k)
+            term = self.fk.sub(self.fk.mont_mul(ex, ey), ez)
+            weighted = self.fk.mont_mul(r[:, None, :], term)
+            return self.fk.sum_mod(weighted, axis=0)
+
+        def finish(total):
+            return self._ifft(total[None], two_k)[0]
+
+        three_m, _, L = xyz_coeffs.shape
+        m = three_m // 3
+        if self.use_jax and three_m * two_k * L * 4 > self.MAX_DEVICE_BYTES:
+            # chunk <= m: slices must not cross the x/y/z region boundaries
+            chunk = min(m, max(8, self.MAX_DEVICE_BYTES // (3 * two_k * L * 4)))
+            xyz_host, r_host = np.asarray(xyz_coeffs), np.asarray(r_quad)
+            parts = []
+            for i in range(0, m, chunk):
+                xb = xyz_host[i:i + chunk]
+                yb = xyz_host[m + i:m + i + chunk]
+                zb = xyz_host[2 * m + i:2 * m + i + chunk]
+                rb = r_host[i:i + chunk]
+                if xb.shape[0] < chunk:
+                    pad = chunk - xb.shape[0]
+                    zpad = np.zeros((pad,) + xb.shape[1:], np.uint32)
+                    xb, yb, zb = (np.concatenate([v, zpad]) for v in (xb, yb, zb))
+                    rb = np.concatenate(
+                        [rb, np.zeros((pad, rb.shape[1]), np.uint32)])
+                parts.append(self._jit(("quadp_part", two_k, xb.shape), partial)(
+                    self.asarray(xb), self.asarray(yb), self.asarray(zb),
+                    self.asarray(rb)))
+            total = self._jit(("quadp_sum", two_k, len(parts)),
+                              lambda ps: self.fk.sum_mod(self.xp.stack(ps), axis=0))(parts)
+            return self._jit(("quadp_fin", two_k), finish)(total)
+
         def run(xyz, r):
-            m = xyz.shape[0] // 3
             ev = self._fft_padded(xyz, two_k)
             ex, ey, ez = ev[:m], ev[m:2 * m], ev[2 * m:]
             term = self.fk.sub(self.fk.mont_mul(ex, ey), ez)
@@ -239,57 +338,88 @@ class Backend:
         return self._jit(("quadp", two_k, xyz_coeffs.shape), run)(
             self.asarray(xyz_coeffs), self.asarray(r_quad))
 
-    def commit_columns(self, u_canon):
-        """Device-side column commitment: Blake2s column leaves + SHA-256
-        Merkle levels, all batched.
+    # max bytes for any single device buffer in the streaming paths: well
+    # under the ~2 GB silent-corruption regime of this TPU backend
+    MAX_DEVICE_BYTES = 1 << 28
 
-        ``u_canon``: (4m, n, L) canonical limbs.  Returns
-        ``(leaf_digests: list[bytes], inner_levels: list[list[bytes]])``
-        with ark-compatible byte layouts (see ligero_tpu.hashes).
+    def _column_leaves_device(self, u_canon):
+        """(rows, nc, L) canonical limbs -> (nc, 8) LE Blake2s digest words.
+
+        ``rows`` must be the full element count 4m (the u64-LE length
+        prefix); column chunking along n is free since columns hash
+        independently.
         """
-        four_m, n, L = u_canon.shape
+        four_m, nc, L = u_canon.shape
         byte_len = 8 + four_m * L * 2
         pad_words = (-(2 + four_m * (L // 2))) % 16
         prefix = np.zeros(2, dtype=np.uint32)
         prefix[0] = four_m & 0xFFFFFFFF
         prefix[1] = four_m >> 32
 
+        def run(u):
+            xp = self.xp
+            if self.use_pallas_ntt:
+                from . import pallas_hash
+                if pallas_hash.supports_shape(nc):
+                    # Pallas column hashing: tiles of 1024 columns ride VPU
+                    # lanes, chaining state persists in VMEM scratch
+                    return pallas_hash.blake2s_columns_pallas(u, four_m)
+            # serialize each column: u64-LE length prefix + canonical LE
+            # bytes per element (= packed 16-bit limb pairs)
+            cols = xp.moveaxis(u, 1, 0)  # (nc, 4m, L)
+            packed = cols[..., 0::2] | (cols[..., 1::2] << np.uint32(16))
+            words = packed.reshape(nc, -1)
+            pre = xp.broadcast_to(xp.asarray(prefix), (nc, 2))
+            words = xp.concatenate(
+                [pre, words, xp.zeros((nc, pad_words), np.uint32)], axis=-1)
+            return self.hk.blake2s(words, byte_len)  # (nc, 8) LE words
+
+        return self._jit(("leaves", u_canon.shape), run)(self.asarray(u_canon))
+
+    def _tree_levels(self, leaves_le):
+        """(n, 8) LE leaf digest words -> tuple of SHA-256 level arrays."""
         def byteswap(x):
             return (((x & np.uint32(0xFF)) << np.uint32(24))
                     | ((x & np.uint32(0xFF00)) << np.uint32(8))
                     | ((x >> np.uint32(8)) & np.uint32(0xFF00))
                     | (x >> np.uint32(24)))
 
-        def run(u):
-            xp = self.xp
-            if self.use_pallas_ntt:
-                from . import pallas_hash
-                use_pallas_hash = pallas_hash.supports_shape(n)
-            else:
-                use_pallas_hash = False
-            if use_pallas_hash:
-                # Pallas column hashing: tiles of 1024 columns ride VPU
-                # lanes, chaining state persists in VMEM scratch
-                leaves_le = pallas_hash.blake2s_columns_pallas(u, four_m)
-            else:
-                # serialize each column: u64-LE length prefix + canonical LE
-                # bytes per element (= packed 16-bit limb pairs)
-                cols = xp.moveaxis(u, 1, 0)  # (n, 4m, L)
-                packed = cols[..., 0::2] | (cols[..., 1::2] << np.uint32(16))
-                words = packed.reshape(n, -1)
-                pre = xp.broadcast_to(xp.asarray(prefix), (n, 2))
-                words = xp.concatenate(
-                    [pre, words, xp.zeros((n, pad_words), np.uint32)], axis=-1)
-                leaves_le = self.hk.blake2s(words, byte_len)  # (n, 8) LE words
-            level = byteswap(leaves_le)                    # BE words for sha
+        def run(lv):
+            level = byteswap(lv)  # BE words for sha
             levels = []
             while level.shape[0] > 1:
                 level = self.hk.sha256_two_to_one(level[0::2], level[1::2])
                 levels.append(level)
-            return leaves_le, tuple(levels)
+            return tuple(levels)
 
-        leaves_le, levels = self._jit(("commit", u_canon.shape), run)(
-            self.asarray(u_canon))
+        return self._jit(("tree", leaves_le.shape), run)(self.asarray(leaves_le))
+
+    def commit_columns(self, u_canon):
+        """Column commitment: Blake2s column leaves + SHA-256 Merkle levels,
+        all batched on the device.
+
+        ``u_canon``: (4m, n, L) canonical limbs (device array or numpy).
+        Returns ``(leaf_digests: list[bytes], inner_levels: list[list[bytes]])``
+        with ark-compatible byte layouts (see ligero_tpu.hashes).  When the
+        matrix exceeds the single-buffer budget it is hashed in column
+        chunks (columns are independent; only the tiny digest rows leave
+        the device per chunk).
+        """
+        four_m, n, L = u_canon.shape
+        total_bytes = four_m * n * L * 4
+        if self.use_jax and total_bytes > self.MAX_DEVICE_BYTES:
+            nc = max(1, self.MAX_DEVICE_BYTES // (four_m * L * 4))
+            if n > 1024 and nc >= 1024:
+                nc = nc // 1024 * 1024  # keep the Pallas 1024-column tiling
+            nc = min(nc, n)
+            u_host = self.to_numpy(u_canon) if not isinstance(u_canon, np.ndarray) else u_canon
+            parts = [self.to_numpy(self._column_leaves_device(
+                np.ascontiguousarray(u_host[:, j:j + nc, :])))
+                for j in range(0, n, nc)]
+            leaves_le = np.concatenate(parts, axis=0)
+        else:
+            leaves_le = self._column_leaves_device(u_canon)
+        levels = self._tree_levels(leaves_le)
         leaves = [words_to_le_bytes(row) for row in self.to_numpy(leaves_le)]
         inner = [[be_words_to_bytes(row) for row in self.to_numpy(level)]
                  for level in levels]

@@ -377,13 +377,13 @@ class LigeroCircuit:
 
         # Reed–Solomon encode all rows; commit to columns of U
         with phase_timer.phase("rs_encode"):
-            u_coeffs, u_canon_dev = be.rs_encode_and_canon(preenc, k, n)
-            u_canon = be.to_numpy(u_canon_dev)
+            u_coeffs, u_canon_dev, u_canon = self._rs_encode_streamed(preenc)
 
         with phase_timer.phase("commit"):
             if be.use_jax:
                 # device-side batched Blake2s leaves + SHA-256 tree levels
-                leaves, levels = be.commit_columns(u_canon_dev)
+                leaves, levels = be.commit_columns(
+                    u_canon if u_canon_dev is None else u_canon_dev)
                 tree = MerkleTree(leaves, inner_levels=levels)
             else:
                 leaves = self._column_leaves(u_canon)
@@ -400,6 +400,36 @@ class LigeroCircuit:
             quadratic = self._prove_quadratic(u_coeffs, u_canon, tree, sponge)
 
         return LigeroProof(u_root, interleaved, linear, quadratic)
+
+    def _rs_encode_streamed(self, preenc):
+        """RS-encode all 4m rows, row-chunked when the codeword matrix
+        would exceed the single-device-buffer budget (the ~2 GB silent-
+        corruption regime on this TPU backend — see Backend.MAX_DEVICE_BYTES).
+
+        Returns ``(u_coeffs, u_canon_dev | None, u_canon_host)``; rows are
+        independent so chunking is exact, and padding keeps one compiled
+        shape per (chunk, k, n).
+        """
+        be = self.backend
+        four_m, k, L = preenc.shape
+        n = self.n
+        total = four_m * n * L * 4
+        if not be.use_jax or total <= Backend.MAX_DEVICE_BYTES:
+            u_coeffs, u_canon_dev = be.rs_encode_and_canon(preenc, k, n)
+            return u_coeffs, u_canon_dev, be.to_numpy(u_canon_dev)
+        chunk = max(8, Backend.MAX_DEVICE_BYTES // (n * L * 4))
+        u_coeffs = np.empty((four_m, k, L), np.uint32)
+        u_canon = np.empty((four_m, n, L), np.uint32)
+        for i in range(0, four_m, chunk):
+            block = np.asarray(preenc[i:i + chunk])
+            rows = block.shape[0]
+            if rows < chunk:
+                block = np.concatenate(
+                    [block, np.zeros((chunk - rows, k, L), np.uint32)])
+            c, uc = be.rs_encode_and_canon(block, k, n)
+            u_coeffs[i:i + rows] = be.to_numpy(c)[:rows]
+            u_canon[i:i + rows] = be.to_numpy(uc)[:rows]
+        return u_coeffs, None, u_canon
 
     def _build_preenc(self, var_assignment):
         be = self.backend
@@ -565,18 +595,19 @@ class LigeroCircuit:
             return False
 
         cofactor = self.n // (2 * k)
-        # full RS encodings of all 4m r_i polynomials (faithful to the
-        # reference's "wasteful" strategy, mod.rs:815-819)
-        r_evals = be.ntt(r_coeffs, self.n)
-        r_evals_host = be.to_numpy(r_evals)
+        # RS encodings of all 4m r_i polynomials, gathered at the opened
+        # columns on-device (values identical to the reference's full
+        # n-point encodes, mod.rs:815-819, evaluated lazily per column)
+        js = np.asarray([path.leaf_index for path in proof.paths])
+        r_evals_cols = be.ntt_columns(r_coeffs, self.n, js)
 
-        for path, col in zip(proof.paths, proof.columns):
+        for pos, (path, col) in enumerate(zip(proof.paths, proof.columns)):
             j = path.leaf_index
             if j % cofactor == 0:
                 q_j = inter_evals[j // cofactor]
             else:
                 q_j = _horner(proof.polynomial, pow(self._omega_n, j, p), p)
-            col_r = self.field.mont_limbs_to_ints(r_evals_host[:, j, :])
+            col_r = self.field.mont_limbs_to_ints(r_evals_cols[:, pos, :])
             lhs = sum(ri * ci for ri, ci in zip(col_r, col)) % p
             if lhs != q_j:
                 return False

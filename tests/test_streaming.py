@@ -1,0 +1,98 @@
+"""Hermetic tests of the streaming (buffer-budget-bounded) bulk paths.
+
+At 2^19/2^20-gate scale the codeword matrix exceeds the ~2 GB
+single-buffer silent-corruption regime of the tunneled TPU backend, so
+the Backend/LigeroCircuit bulk ops stream in row/column chunks.  These
+tests shrink ``Backend.MAX_DEVICE_BYTES`` until every chunked branch
+fires on CPU-jax shapes and bit-compare against the direct paths.
+"""
+
+import numpy as np
+import pytest
+
+from ligero_tpu.engine.backend import Backend
+from ligero_tpu.fields import BN254_FR
+
+F = BN254_FR
+L = F.num_limbs
+
+
+def _rand_mont(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    ints = [int(x) for x in rng.integers(0, 2 ** 62, int(np.prod(shape)))]
+    return F.ints_to_mont_limbs(ints).reshape(*shape, L)
+
+
+@pytest.fixture
+def small_budget(monkeypatch):
+    # small enough that 24x(8*16) codewords exceed it -> all chunked paths
+    monkeypatch.setattr(Backend, "MAX_DEVICE_BYTES", 4096)
+
+
+def test_commit_columns_chunked_matches_direct(small_budget):
+    be = Backend(F, use_jax=True)
+    be_np = Backend(F)
+    u = np.asarray(_rand_mont((12, 32), seed=1), dtype=np.uint32)
+    leaves, levels = be.commit_columns(u)
+    # numpy backend takes the direct (unchunked) branch
+    leaves_d, levels_d = be_np.commit_columns(u)
+    assert leaves == leaves_d
+    assert levels == levels_d
+
+
+def test_linear_combination_poly_chunked(small_budget):
+    be = Backend(F, use_jax=True)
+    be_np = Backend(F)
+    u = _rand_mont((24, 8), seed=2)
+    r = _rand_mont((24, 8), seed=3)
+    out = np.asarray(be.linear_combination_poly(u, r, 16))
+    ref = np.asarray(be_np.linear_combination_poly(u, r, 16))
+    assert np.array_equal(out, ref)
+
+
+def test_quadratic_combination_poly_chunked(small_budget):
+    be = Backend(F, use_jax=True)
+    be_np = Backend(F)
+    xyz = _rand_mont((24, 8), seed=4)
+    r = _rand_mont((8,), seed=5)
+    out = np.asarray(be.quadratic_combination_poly(xyz, r, 16))
+    ref = np.asarray(be_np.quadratic_combination_poly(xyz, r, 16))
+    assert np.array_equal(out, ref)
+
+
+def test_ntt_columns_chunked(small_budget):
+    be = Backend(F, use_jax=True)
+    be_np = Backend(F)
+    coeffs = _rand_mont((24, 8), seed=6)
+    js = np.asarray([0, 3, 17, 63])
+    out = be.ntt_columns(coeffs, 64, js)
+    full = np.asarray(be_np.ntt(coeffs, 64))
+    assert np.array_equal(out, full[:, js, :])
+
+
+def test_e2e_prove_verify_streamed(small_budget):
+    """Full prove+verify with every streaming branch active, byte-compared
+    against the unstreamed numpy-backend proof."""
+    from ligero_tpu.circuit import ArithmeticCircuit
+    from ligero_tpu.ligero import LigeroCircuit
+    from ligero_tpu.sponge import test_sponge
+
+    def build():
+        c = ArithmeticCircuit(F)
+        x = c.new_variable_with_label("x")
+        acc = x
+        for _ in range(6):
+            acc = c.mul(acc, x)
+        c.add(acc, c.constant(-(3 ** 7) + 1))
+        return c
+
+    c = build()
+    lig = LigeroCircuit(c, [c.last()], backend=Backend(F, use_jax=True))
+    sp = test_sponge(F)
+    proof = lig.prove_with_labels([("x", 3)], sp.clone())
+    assert lig.verify(proof, sp.clone())
+
+    c2 = build()
+    lig_np = LigeroCircuit(c2, [c2.last()], backend=Backend(F))
+    proof_np = lig_np.prove_with_labels([("x", 3)], sp.clone())
+    assert proof.to_bytes(F) == proof_np.to_bytes(F)
