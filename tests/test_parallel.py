@@ -79,3 +79,71 @@ def test_sharded_core_matches_host(n_devices):
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_full_prover_sharded_byte_identical(n_devices):
+    """LigeroCircuit.prove/verify through ShardedBackend on a virtual mesh
+    produces byte-identical proofs to the single-device numpy path
+    (VERDICT #4: the full prover distributed, not just the commit core)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from ligero_tpu.circuit import ArithmeticCircuit
+    from ligero_tpu.engine.backend import Backend
+    from ligero_tpu.ligero import LigeroCircuit
+    from ligero_tpu.parallel import ShardedBackend
+    from ligero_tpu.sponge import test_sponge
+    from ligero_tpu.synthetic import generate_random_circuit
+
+    c, outputs, vars_ = generate_random_circuit(F, 600, num_vars=8, seed=11)
+    mesh = Mesh(np.array(jax.devices()[:n_devices]), axis_names=("rows",))
+
+    lig = LigeroCircuit(c, outputs, backend=ShardedBackend(F, mesh))
+    sp = test_sponge(F)
+    proof = lig.prove(vars_, sp.clone())
+    assert lig.verify(proof, sp.clone())
+
+    c2, outputs2, vars2 = generate_random_circuit(F, 600, num_vars=8, seed=11)
+    lig_np = LigeroCircuit(c2, outputs2, backend=Backend(F))
+    proof_np = lig_np.prove(vars2, sp.clone())
+    assert proof.to_bytes(F) == proof_np.to_bytes(F)
+
+
+def test_full_prover_sharded_poseidon_fixture():
+    """Sharded prove+verify of the poseidon circom fixture (m,k,n =
+    86,128,1024; 4m=344 rows pad to the 8-device mesh) byte-identical to
+    the host proof, with mont_mul chunking forced to fire inside
+    shard_map (FieldKernel.MAX_BATCH_ELEMS interaction, VERDICT weak #4)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from ligero_tpu.circuit import ArithmeticCircuit
+    from ligero_tpu.circuit.r1cs import load_witness_json, parse_r1cs
+    from ligero_tpu.engine.backend import Backend
+    from ligero_tpu.engine.fieldops import FieldKernel
+    from ligero_tpu.ligero import LigeroCircuit
+    from ligero_tpu.parallel import ShardedBackend
+    from ligero_tpu.sponge import test_sponge
+
+    cs = parse_r1cs("/root/reference/circom/poseidon/poseidon.r1cs", F)
+    witness = load_witness_json(
+        "/root/reference/circom/poseidon/witness.json", F)
+    c, outputs = ArithmeticCircuit.from_constraint_system(cs, F)
+    vars_ = [(i, v) for i, v in enumerate(witness)][1:]
+
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("rows",))
+    old = FieldKernel.MAX_BATCH_ELEMS
+    FieldKernel.MAX_BATCH_ELEMS = 1 << 12  # force lax.map chunking in-shard
+    try:
+        lig = LigeroCircuit(c, outputs, backend=ShardedBackend(F, mesh))
+        sp = test_sponge(F)
+        proof = lig.prove(vars_, sp.clone())
+        assert lig.verify(proof, sp.clone())
+    finally:
+        FieldKernel.MAX_BATCH_ELEMS = old
+
+    c2, outputs2 = ArithmeticCircuit.from_constraint_system(cs, F)
+    lig_np = LigeroCircuit(c2, outputs2, backend=Backend(F))
+    proof_np = lig_np.prove(vars_, sp.clone())
+    assert proof.to_bytes(F) == proof_np.to_bytes(F)
