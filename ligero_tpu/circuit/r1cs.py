@@ -160,3 +160,39 @@ def read_constraint_system(r1cs_path: str, field: FieldSpec,
     if wasm_path is None:
         return cs
     return cs, lambda inputs: compute_witness_wasm(wasm_path, inputs, field)
+
+
+def repeated_squaring_constraint_system(field: FieldSpec,
+                                        squarings: int = 10) -> ConstraintSystem:
+    """In-tree equivalent of ``repeated_squaring_10.circom`` (the reference
+    ships the source but no compiled ``.r1cs``; no reference test uses it —
+    SURVEY.md §8).  Mirrors circom-2 compilation of the template at
+    /root/reference/circom/repeated_squaring_10.circom: wires
+    ``[1, y, x, tmp0..tmp_{s-2}]`` (y public output, x private input), one
+    squaring constraint per ``tmp_i <== prev * prev`` with the final
+    ``y <== tmp_{s-1}`` linear assignment folded into the last constraint
+    (circom's linear-substitution optimisation, as seen in cube.r1cs)."""
+    cs = ConstraintSystem(field, num_instance=2, num_witness=squarings)
+    x_wire = 2
+    prev = x_wire
+    for i in range(squarings):
+        out_wire = 1 if i == squarings - 1 else 3 + i  # y for the last
+        cs.a.append([(1, prev)])
+        cs.b.append([(1, prev)])
+        cs.c.append([(1, out_wire)])
+        prev = out_wire if out_wire != 1 else prev
+        if i < squarings - 1:
+            prev = 3 + i
+    return cs
+
+
+def repeated_squaring_witness(field: FieldSpec, x: int,
+                              squarings: int = 10) -> list[int]:
+    """Witness vector [1, y, x, tmp0..tmp_{s-2}] for the circuit above."""
+    p = field.p
+    tmps = []
+    v = x % p
+    for _ in range(squarings):
+        v = v * v % p
+        tmps.append(v)
+    return [1, tmps[-1], x % p] + tmps[:-1]

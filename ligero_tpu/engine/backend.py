@@ -310,10 +310,13 @@ class Backend:
             xyz_host, r_host = np.asarray(xyz_coeffs), np.asarray(r_quad)
             parts = []
             for i in range(0, m, chunk):
-                xb = xyz_host[i:i + chunk]
-                yb = xyz_host[m + i:m + i + chunk]
-                zb = xyz_host[2 * m + i:2 * m + i + chunk]
-                rb = r_host[i:i + chunk]
+                # slices stop at each region's end — a partial last chunk
+                # must not spill into the next region
+                end = min(i + chunk, m)
+                xb = xyz_host[i:end]
+                yb = xyz_host[m + i:m + end]
+                zb = xyz_host[2 * m + i:2 * m + end]
+                rb = r_host[i:end]
                 if xb.shape[0] < chunk:
                     pad = chunk - xb.shape[0]
                     zpad = np.zeros((pad,) + xb.shape[1:], np.uint32)

@@ -188,7 +188,18 @@ class LigeroCircuit:
         nodes = circuit.nodes
 
         def operand_rows(l_node: int, r_node: int):
-            """(x_row, y_row) for a Mul, or the first two Add terms."""
+            """(x_row, y_row) for a Mul, or the first two Add terms.
+
+            The const∘const case (both operands constant, expressed as
+            coefficients on the constant-one column) arises from e.g.
+            circom non-output constraints with constant right-hand sides
+            (cube.circom's ``x * x2 === 27`` compiles to a
+            ``(-1)·const(27)`` gate); the reference's generate_matrices
+            assumes it impossible (mod.rs:329-331,349-352) and its tests
+            never prove such a circuit — supported here as a strict
+            generalisation."""
+            if nodes[l_node][0] == CONST and nodes[r_node][0] == CONST:
+                return [(nodes[l_node][1], 0)], [(nodes[r_node][1], 0)]
             if nodes[l_node][0] == CONST:
                 return [(nodes[l_node][1], 0)], [(1, index_map[r_node])]
             if nodes[r_node][0] == CONST:

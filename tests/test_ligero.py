@@ -339,3 +339,49 @@ def test_verify_rejects_structurally_malformed():
     missing_path = copy.deepcopy(proof)
     missing_path.linear.paths = missing_path.linear.paths[:-1]
     assert lig.verify(missing_path, sp.clone()) is False
+
+
+@needs_circom
+def test_cube_prove_and_verify():
+    """cube.circom end-to-end, witness from the in-tree WASM interpreter.
+
+    Exercises the const-times-const gate path: the non-output constraint
+    ``x * x2 === 27`` compiles to a (-1)*const(27) Mul gate, which the
+    reference's generate_matrices assumes impossible (mod.rs:329-331) and
+    never proves — supported here as a strict generalisation."""
+    from ligero_tpu.circuit.witness import compute_witness
+    F = BN254_FR
+    cs = parse_r1cs(os.path.join(REFERENCE_CIRCOM, "cube.r1cs"), F)
+    circuit, outputs = ArithmeticCircuit.from_constraint_system(cs, F)
+    witness = compute_witness(os.path.join(REFERENCE_CIRCOM, "cube.wasm"),
+                              {"x": 3}, F)
+    var_assignment = [(i, v) for i, v in enumerate(witness)][1:]
+    lig = LigeroCircuit(circuit, outputs)
+    sponge = test_sponge(F)
+    proof = lig.prove(var_assignment, sponge.clone())
+    assert lig.verify(proof, sponge.clone())
+    bad = [(var_assignment[0][0], (var_assignment[0][1] + 1) % F.p)] \
+        + var_assignment[1:]
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        bad_proof = lig.prove(bad, sponge.clone())
+    assert not lig.verify(bad_proof, sponge.clone())
+
+
+@needs_circom
+def test_repeated_squaring_equivalent_prove_and_verify():
+    """BASELINE config #3: in-tree equivalent of repeated_squaring_10
+    (the reference ships no compiled .r1cs for it)."""
+    from ligero_tpu.circuit.r1cs import (
+        repeated_squaring_constraint_system, repeated_squaring_witness)
+    F = BN254_FR
+    cs = repeated_squaring_constraint_system(F)
+    w = repeated_squaring_witness(F, 3)
+    assert w[1] == pow(3, 2 ** 10, F.p)
+    circuit, outputs = ArithmeticCircuit.from_constraint_system(cs, F)
+    var_assignment = [(i, v) for i, v in enumerate(w)][1:]
+    lig = LigeroCircuit(circuit, outputs)
+    sponge = test_sponge(F)
+    proof = lig.prove(var_assignment, sponge.clone())
+    assert lig.verify(proof, sponge.clone())

@@ -60,6 +60,19 @@ def test_quadratic_combination_poly_chunked(small_budget):
     assert np.array_equal(out, ref)
 
 
+def test_quadratic_combination_poly_partial_last_chunk(small_budget):
+    """m=10 with chunk=8: the last partial chunk must stop at each x/y/z
+    region boundary instead of spilling into the next region (the exact
+    failure of the first 2^19 at-scale run: m=725, chunk=682)."""
+    be = Backend(F, use_jax=True)
+    be_np = Backend(F)
+    xyz = _rand_mont((30, 8), seed=14)   # m=10, not divisible by chunk=8
+    r = _rand_mont((10,), seed=15)
+    out = np.asarray(be.quadratic_combination_poly(xyz, r, 16))
+    ref = np.asarray(be_np.quadratic_combination_poly(xyz, r, 16))
+    assert np.array_equal(out, ref)
+
+
 def test_ntt_columns_chunked(small_budget):
     be = Backend(F, use_jax=True)
     be_np = Backend(F)
