@@ -71,6 +71,10 @@ def _load() -> ctypes.CDLL | None:
         lib.lh_sparse_row_mul.argtypes = [
             ctypes.c_int, u64p, ctypes.c_uint64, u64p,
             ctypes.c_int64, i32p, i32p, u64p, u64p, u64p]
+        lib.lh_poseidon_absorb.argtypes = [
+            ctypes.c_int, u64p, ctypes.c_uint64, u64p,
+            u64p, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+            u64p, i64p, i64p, u64p, ctypes.c_int64]
         _lib = lib
     except Exception as e:  # noqa: BLE001
         sys.stderr.write(f"ligero_tpu: native kernels unavailable ({e}); "
@@ -170,3 +174,25 @@ def sparse_row_mul_mont(field: FieldSpec, rows: np.ndarray, cols: np.ndarray,
         _ptr(vals_mont_u64, ctypes.c_uint64), _ptr(r_mont_u64, ctypes.c_uint64),
         _ptr(out, ctypes.c_uint64))
     return out
+
+
+def poseidon_absorb(field: FieldSpec, ark_mont_u64: np.ndarray,
+                    full_rounds: int, partial_rounds: int, alpha: int,
+                    state_mont_u64: np.ndarray, mode: int, mode_index: int,
+                    elems_mont_u64: np.ndarray) -> tuple[int, int]:
+    """Run the ark duplex-sponge absorb state machine natively.
+
+    ``state_mont_u64`` (3, nl) is updated in place; returns the new
+    (mode, mode_index).  All field values Montgomery (see
+    native/ligero_host.cpp lh_poseidon_absorb)."""
+    lib = _load()
+    nl, p, n0inv, r2 = _field_args(field)
+    mode_arr = np.array([mode], dtype=np.int64)
+    idx_arr = np.array([mode_index], dtype=np.int64)
+    lib.lh_poseidon_absorb(
+        nl, _ptr(p, ctypes.c_uint64), n0inv, _ptr(r2, ctypes.c_uint64),
+        _ptr(ark_mont_u64, ctypes.c_uint64), full_rounds, partial_rounds,
+        np.uint64(alpha), _ptr(state_mont_u64, ctypes.c_uint64),
+        _ptr(mode_arr, ctypes.c_int64), _ptr(idx_arr, ctypes.c_int64),
+        _ptr(elems_mont_u64, ctypes.c_uint64), elems_mont_u64.shape[0])
+    return int(mode_arr[0]), int(idx_arr[0])

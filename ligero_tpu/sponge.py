@@ -54,6 +54,7 @@ class PoseidonConfig:
 
 
 _test_config_cache: dict[str, PoseidonConfig] = {}
+_native_ark_cache: dict[str, "object"] = {}  # field -> Montgomery round consts
 
 
 def test_poseidon_config(field: FieldSpec) -> PoseidonConfig:
@@ -125,11 +126,19 @@ class PoseidonSponge:
             rem = rem[num:]
             rate_start = 0
 
+    # Absorbs at/above this length run the whole duplex state machine in
+    # the native C++ kernel (lh_poseidon_absorb) — the 2^20 transcript
+    # absorbs k=1024-element vectors (512 serial permutations), which at
+    # host-int speed cost ~seconds (VERDICT #7 / flamegraph_no_absorb).
+    NATIVE_ABSORB_THRESHOLD = 16
+
     def absorb_field_elems(self, elems: list[int]) -> None:
         """Absorb native field elements (``Vec<F>`` in ark)."""
         if not elems:
             return
         elems = [e % self.p for e in elems]
+        if len(elems) >= self.NATIVE_ABSORB_THRESHOLD and self._native_absorb(elems):
+            return
         if self.mode == _ABSORBING:
             idx = self.mode_index
             if idx == self.cfg.rate:
@@ -139,6 +148,34 @@ class PoseidonSponge:
         else:
             self._permute()
             self._absorb_internal(0, elems)
+
+    def _native_absorb(self, elems: list[int]) -> bool:
+        """C++ fast path for long absorbs; bit-exact vs the Python machine
+        (values pass through Montgomery form, an exact bijection)."""
+        from . import native
+        if not native.available():
+            return False
+        cfg, field = self.cfg, self.cfg.field
+        nl = field.num_u64_limbs
+        ark_mont = _native_ark_cache.get(field.name)
+        if ark_mont is None:
+            flat = [c for row in cfg.ark for c in row]
+            ark_mont = native.ints_to_u64_limbs(flat, nl)
+            native.to_mont_inplace(field, ark_mont)
+            _native_ark_cache[field.name] = ark_mont
+        state = native.ints_to_u64_limbs(self.state, nl)
+        native.to_mont_inplace(field, state)
+        ev = native.ints_to_u64_limbs(elems, nl)
+        native.to_mont_inplace(field, ev)
+        self.mode, self.mode_index = native.poseidon_absorb(
+            field, ark_mont, cfg.full_rounds, cfg.partial_rounds, cfg.alpha,
+            state, self.mode, self.mode_index, ev)
+        native.from_mont_inplace(field, state)
+        sz = nl * 8
+        buf = state.tobytes()
+        self.state = [int.from_bytes(buf[i * sz:(i + 1) * sz], "little")
+                      for i in range(cfg.state_size)]
+        return True
 
     def absorb_bytes(self, data: bytes) -> None:
         """Absorb a byte string with ark's u8-batch encoding (len prefix)."""

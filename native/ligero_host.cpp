@@ -158,6 +158,100 @@ int64_t lh_eval_circuit(int nl, const u64* p, u64 n0inv, const u64* r2,
     return 0;
 }
 
+// Poseidon duplex-sponge absorb (ark-crypto-primitives 0.5 semantics for
+// the test_sponge config: state width 3 = rate 2 + capacity 1, MDS
+// [[1,0,1],[1,1,0],[0,1,1]], x^alpha S-box; reference transcript call
+// sites src/ligero/mod.rs:560-973).  All field values Montgomery.
+//
+//   state:      3*nl limbs, in/out
+//   mode:       0 = absorbing, 1 = squeezing (ark DuplexSpongeMode)
+//   mode_index: next_absorb_index / next_squeeze_index
+//   ark_rc:     (full+partial) x 3 x nl Montgomery round constants
+//
+// Runs the exact absorb state machine (including mid-absorb permutes for
+// inputs longer than the rate) so the Python sponge can hand off whole
+// element vectors; ~100x faster than host-int pow chains at the 2^20
+// transcript scale (k=1024-element absorbs => 512 serial permutations).
+void lh_poseidon_absorb(int nl, const u64* p, u64 n0inv, const u64* r2,
+                        const u64* ark_rc, int full_rounds, int partial_rounds,
+                        u64 alpha, u64* state, int64_t* mode,
+                        int64_t* mode_index, const u64* elems, int64_t count) {
+    Field f = make_field(nl, p, n0inv, r2);
+
+    u64 sbox_out[MAX_NL];
+    auto mont_pow = [&](const u64* base, u64 e, u64* out) {
+        // e >= 1: left-to-right binary square-and-multiply from the MSB
+        int msb = 63;
+        while (!((e >> msb) & 1)) --msb;
+        u64 acc[MAX_NL];
+        std::memcpy(acc, base, nl * sizeof(u64));
+        for (int b = msb - 1; b >= 0; --b) {
+            u64 sq[MAX_NL];
+            mont_mul(f, acc, acc, sq);
+            if ((e >> b) & 1) mont_mul(f, sq, base, acc);
+            else std::memcpy(acc, sq, nl * sizeof(u64));
+        }
+        std::memcpy(out, acc, nl * sizeof(u64));
+    };
+
+    const int half = full_rounds / 2;
+    const int total = full_rounds + partial_rounds;
+    auto permute = [&]() {
+        for (int r = 0; r < total; ++r) {
+            const bool is_full = r < half || r >= half + partial_rounds;
+            const u64* rc = ark_rc + (int64_t)r * 3 * nl;
+            for (int i = 0; i < 3; ++i)
+                add_mod(f, state + i * nl, rc + i * nl, state + i * nl);
+            if (is_full) {
+                for (int i = 0; i < 3; ++i) {
+                    mont_pow(state + i * nl, alpha, sbox_out);
+                    std::memcpy(state + i * nl, sbox_out, nl * sizeof(u64));
+                }
+            } else {
+                mont_pow(state, alpha, sbox_out);
+                std::memcpy(state, sbox_out, nl * sizeof(u64));
+            }
+            // MDS [[1,0,1],[1,1,0],[0,1,1]]
+            u64 ns[3 * MAX_NL];
+            add_mod(f, state + 0 * nl, state + 2 * nl, ns + 0 * nl);
+            add_mod(f, state + 0 * nl, state + 1 * nl, ns + 1 * nl);
+            add_mod(f, state + 1 * nl, state + 2 * nl, ns + 2 * nl);
+            std::memcpy(state, ns, 3 * nl * sizeof(u64));
+        }
+    };
+
+    int64_t rate_start;
+    if (*mode == 0) {
+        rate_start = *mode_index;
+        if (rate_start == 2) { permute(); rate_start = 0; }
+    } else {
+        permute();
+        rate_start = 0;
+    }
+
+    int64_t i = 0;
+    for (;;) {
+        const int64_t rem = count - i;
+        if (rate_start + rem <= 2) {
+            for (int64_t j = 0; j < rem; ++j) {
+                u64* dst = state + (1 + rate_start + j) * nl;
+                add_mod(f, dst, elems + (i + j) * nl, dst);
+            }
+            *mode = 0;
+            *mode_index = rate_start + rem;
+            return;
+        }
+        const int64_t num = 2 - rate_start;
+        for (int64_t j = 0; j < num; ++j) {
+            u64* dst = state + (1 + rate_start + j) * nl;
+            add_mod(f, dst, elems + (i + j) * nl, dst);
+        }
+        permute();
+        i += num;
+        rate_start = 0;
+    }
+}
+
 // Sparse v^T·M accumulation: out[cols[e]] += r[rows[e]] * vals[e] for every
 // entry e.  r and vals in Montgomery form; out (pre-zeroed, ncols x nl)
 // accumulates in Montgomery form.

@@ -385,3 +385,28 @@ def test_repeated_squaring_equivalent_prove_and_verify():
     sponge = test_sponge(F)
     proof = lig.prove(var_assignment, sponge.clone())
     assert lig.verify(proof, sponge.clone())
+
+
+def test_calculate_t_float_robustness():
+    """The ``calculate_t`` f64 expression (VERIFY_NOTES #11) could only
+    diverge from the pinned Rust source through sub-ulp libm differences
+    (log2/powi vs **); assert every bench-config evaluation sits far from
+    a ceil() boundary, so any such difference cannot change t — and pin
+    the resulting t values."""
+    import math
+
+    F = BN254_FR
+    lam = DEFAULT_SECURITY_LEVEL
+    expected = {32: 32, 64: 64, 1024: 156, 4096: 156, 8192: 156}
+    for k in (4, 8, 128, 512, 1024):
+        n = 8 * k
+        t = calculate_t(F, lam, (n - k + 1, n), n)
+        assert t == expected[n], (n, t)
+        # recompute the pre-ceil ratio and its distance to integers
+        residual = n / (2.0 ** F.modulus_bit_size)
+        nom = math.log2(2.0 ** -lam - residual) - 1.0
+        denom = math.log2(1.0 - 0.5 * (n - k + 1) / n)
+        ratio = nom / denom
+        margin = min(ratio - math.floor(ratio), math.ceil(ratio) - ratio)
+        if t < n:  # unsaturated: the ceil is load-bearing
+            assert margin > 1e-6, (n, ratio)
