@@ -86,12 +86,62 @@ def run_bench(four_m: int, k: int, iters: int = 3):
     return elems / best, best, compile_s
 
 
+def corruption_canary() -> str:
+    """On-device self-check before trusting any number: mont_mul at
+    2900x1024 (the silent-corruption shape isolated in round 1, fixed by
+    FieldKernel chunking) bit-compared against the host golden kernel on
+    sampled rows.  ~10 s warm (the kernel is compile-cached)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ligero_tpu.engine.fieldops import FieldKernel
+    from ligero_tpu.fields import BN254_FR
+
+    field = BN254_FR
+    rng = np.random.default_rng(20240817)
+    rows, cols = 2900, 1024
+    ints = [int(x) for x in rng.integers(0, 2 ** 63, 2 * rows * cols)]
+    limbs = field.ints_to_mont_limbs(ints).reshape(2, rows, cols, -1)
+    a, b = limbs[0], limbs[1]
+    dev = np.asarray(jax.jit(FieldKernel(field, jnp, unroll=False).mont_mul)(
+        jnp.asarray(a), jnp.asarray(b)))
+    check = np.linspace(0, rows - 1, 8, dtype=np.int64)
+    host = FieldKernel(field, np).mont_mul(a[check], b[check])
+    if not np.array_equal(host, dev[check]):
+        raise SystemExit(
+            json.dumps({"metric": "CANARY FAILED", "value": 0,
+                        "unit": "corrupt", "vs_baseline": 0}))
+    return "ok"
+
+
+def _attach_recorded(result: dict) -> None:
+    """Attach recorded per-fixture and at-scale results (produced by
+    scripts/bench_configs.py and scripts/at_scale.py on this hardware)
+    so the one-line JSON carries proofs/s + per-phase breakdowns."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    for key, names in (("fixtures", ("bench_configs.json",)),
+                       ("at_scale", ("atscale_r2.json", "atscale_17_smoke.json"))):
+        for name in names:
+            path = os.path.join(here, name)
+            if os.path.exists(path):
+                try:
+                    with open(path) as f:
+                        result[key] = {"recorded_from": name, **json.load(f)}
+                except Exception:  # noqa: BLE001
+                    pass
+                break
+
+
 def main():
     scale = os.environ.get("LIGERO_BENCH_SCALE", "large")
     four_m, k = SCALES.get(scale, SCALES["large"])
 
     import jax
     platform = jax.devices()[0].platform
+
+    canary = "skipped"
+    if platform != "cpu" and os.environ.get("LIGERO_BENCH_CANARY", "1") == "1":
+        canary = corruption_canary()
 
     try:
         value, step_s, compile_s = run_bench(four_m, k)
@@ -105,10 +155,16 @@ def main():
         "value": round(value, 1),
         "unit": "field elems/s",
         "vs_baseline": round(value / (TARGET_MULTIPLIER * RUST_HOST_ESTIMATE_ELEMS_PER_S), 3),
+        "baseline_note": (
+            "denominator = 10x a documented ESTIMATE of the arkworks CPU "
+            "pipeline (5e6 RS elems/s/host); the reference publishes no "
+            "numbers (BASELINE.md) and no Rust toolchain exists here to "
+            "measure it"),
         "config": {"rows_4m": four_m, "k": k, "n": 8 * k,
                    "platform": platform, "step_s": round(step_s, 4),
-                   "compile_s": round(compile_s, 1)},
+                   "compile_s": round(compile_s, 1), "canary": canary},
     }
+    _attach_recorded(result)
     print(json.dumps(result))
 
 
