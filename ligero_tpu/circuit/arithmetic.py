@@ -228,6 +228,24 @@ class ArithmeticCircuit:
     def evaluate_multioutput_with_labels(self, vars_, outputs) -> list[int]:
         return self.evaluate_multioutput(self._labels_to_indices(vars_), outputs)
 
+    # -- debug trace printers (reference mod.rs:409-451) ----------------
+    def _format_trace(self, trace: list) -> str:
+        lines = [f"Arithmetic circuit with {self.num_nodes()} nodes:"]
+        for index, (node, value) in enumerate(zip(self.nodes, trace)):
+            if node[0] == CONST:
+                lines.append(f"\t{index}: Constant = {node[1]}")
+            else:
+                val = str(value) if value is not None else "not set"
+                lines.append(f"\t{index}: {node_str(node)} = {val}")
+        return "\n".join(lines)
+
+    def print_evaluation_trace(self, vars_, node: int) -> None:
+        print(self._format_trace(self.evaluation_trace(vars_, node)))
+
+    def print_evaluation_trace_multioutput(self, vars_, outputs) -> None:
+        print(self._format_trace(
+            self.evaluation_trace_multioutput(vars_, outputs)))
+
     # ------------------------------------------------------------------
     # R1CS compilation (reference mod.rs:455-520)
     # ------------------------------------------------------------------
@@ -269,12 +287,8 @@ class ArithmeticCircuit:
         for i, node in enumerate(self.nodes):
             if node[0] == CONST:
                 lines.append(f"\t{i}: Constant({node[1]})")
-            elif node[0] == VAR:
-                lines.append(f"\t{i}: {node[1]}")
-            elif node[0] == ADD:
-                lines.append(f"\t{i}: node({node[1]}) + node({node[2]})")
             else:
-                lines.append(f"\t{i}: node({node[1]}) * node({node[2]})")
+                lines.append(f"\t{i}: {node_str(node)}")
         return "\n".join(lines)
 
 
@@ -313,3 +327,13 @@ def filter_constants(nodes: list[tuple]) -> tuple[list[tuple], dict[int, int]]:
                 return filtered_indices[j]
             new_nodes.append((kind, remap(node[1]), remap(node[2])))
     return new_nodes, constants
+
+
+def node_str(node: tuple) -> str:
+    """Display form of a node (reference Node::Display, mod.rs:523-532)."""
+    if node[0] == CONST:
+        return f"Constant({node[1]})"
+    if node[0] == VAR:
+        return str(node[1])
+    op = "+" if node[0] == ADD else "*"
+    return f"node({node[1]}) {op} node({node[2]})"

@@ -111,3 +111,13 @@ class DenseMatrix:
 
     def column(self, j: int) -> list[int]:
         return [row[j] for row in self.rows]
+
+    @classmethod
+    def rand(cls, field: FieldSpec, num_rows: int, num_cols: int,
+             rng=None) -> "DenseMatrix":
+        """Uniform random matrix (reference DenseMatrix::rand,
+        /root/reference/src/matrices/mod.rs:151-160; test-only there)."""
+        import random as _random
+        rng = rng or _random
+        return cls(field, [[rng.randrange(field.p) for _ in range(num_cols)]
+                           for _ in range(num_rows)])
