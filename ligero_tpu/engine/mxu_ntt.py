@@ -1,0 +1,352 @@
+"""MXU four-step NTT: the small DFTs as int8 limb matmuls.
+
+n = n1*n2 (PERF.md roadmap #2; hot loop of reference
+/root/reference/src/ligero/mod.rs:998-1012).  With j = j1 + n1*j2 and
+k = k2 + n2*k1:
+
+    stage 1   B^T = W2 @ A^T          (A^T = x.reshape(n2, n1) — free)
+    stage 2   C^T = B^T * T''^T       (pointwise Montgomery multiply)
+    stage 3   E^T = C^T @ W1          (data-left matmul)
+    output    out[k1*n2 + k2] = E[k1, k2]
+
+The field matmuls run on the MXU as int8 limb contractions:
+
+* operands split into **7-bit limbs** (L7 = 37) so signed-int8 products
+  accumulate exactly in int32 (max column sum 128 * 37 * 127^2 < 2^31);
+* the constant matrix's limbs are looped (m); the data operand's limbs
+  ride the non-contracted dimension l-major, so each int8 matmul
+  P_m adds into redundant column t = l + m with one static shifted add;
+* base-2^7 redundant columns are carry-tamed in two passes, regrouped
+  into 16-bit redundant columns, and Montgomery-reduced with a 17-step
+  interleaved REDC (dividing by 2^272: the product sum over n1 <= 128
+  terms is < 2^515, so the result is < 2p before the final subtract —
+  a 16-step REDC would not be);
+* the two stages' extra 2^-16 factors are compensated by baking R*2^32
+  (and n^-1 for the inverse transform) into the stage-2 twiddles, so
+  Montgomery form is preserved end to end and every intermediate stays
+  < p.
+
+No bit-reversal is needed (natural order in and out).  The numeric core
+is written over a generic array namespace: numpy executes the exact same
+integer path for hermetic CPU tests; the Pallas kernel wraps it for the
+TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..fields import FIELDS, FieldSpec
+
+L7 = 37          # 7-bit limbs per <2^259 operand
+MASK7 = 0x7F
+MASK16 = 0xFFFF
+REDC_STEPS = 17  # divides by 2^(16*17) = 2^272
+
+
+def split_n(n: int) -> tuple[int, int]:
+    """n = n1*n2, both powers of two, n1 >= n2 (as square as possible)."""
+    log = n.bit_length() - 1
+    n1 = 1 << ((log + 1) // 2)
+    return n1, n // n1
+
+
+def _int_to_limbs7(v: int) -> list[int]:
+    return [(v >> (7 * l)) & MASK7 for l in range(L7)]
+
+
+@functools.lru_cache(maxsize=None)
+def _const_data(field_name: str, n: int, inverse: bool):
+    """Constant tensors (all numpy):
+
+    w2_7: (L7, n2, n2) int8 — Montgomery W2[a,b] = w_{n2}^{ab} * R
+    w1_7: (L7, n1, n1) int8 — Montgomery W1
+    t16:  (L, n2, n1) uint32 — T''^T[k2,j1] = w_n^{j1 k2} * R * 2^32
+          (* n^-1 for the inverse transform), 16-bit limbs
+    """
+    field = FIELDS[field_name]
+    p = field.p
+    L = field.num_limbs
+    n1, n2 = split_n(n)
+    omega = field.root_of_unity(n)
+    if inverse:
+        omega = pow(omega, -1, p)
+    w1, w2 = pow(omega, n2, p), pow(omega, n1, p)
+    R = field.R
+
+    def mat7(w, size):
+        arr = np.zeros((L7, size, size), np.int8)
+        for a in range(size):
+            for b in range(size):
+                v = pow(w, (a * b) % size, p) * R % p
+                for l, limb in enumerate(_int_to_limbs7(v)):
+                    arr[l, a, b] = limb
+        return arr
+
+    extra = pow(2, 32, p) * (pow(n, -1, p) if inverse else 1) % p
+    t16 = np.zeros((L, n2, n1), np.uint32)
+    for k2 in range(n2):
+        for j1 in range(n1):
+            v = pow(omega, (j1 * k2) % n, p) * R % p * extra % p
+            for q in range(L):
+                t16[q, k2, j1] = (v >> (16 * q)) & MASK16
+
+    return mat7(w2, n2), mat7(w1, n1), t16
+
+
+def _np_dot_i32(a, b):
+    """Exact int8 x int8 -> int32 matmul for the numpy path."""
+    out = a.astype(np.int64) @ b.astype(np.int64)
+    assert out.max(initial=0) < (1 << 31) and out.min(initial=0) >= 0
+    return out.astype(np.uint32)
+
+
+def _limbs16_to_7(xp, d16):
+    """(L, R, C) uint32 16-bit limbs -> list of L7 (R, C) 7-bit values."""
+    L = d16.shape[0]
+    out = []
+    for l in range(L7):
+        bit = 7 * l
+        q, off = bit // 16, bit % 16
+        v = d16[q] >> np.uint32(off)
+        if off > 9 and q + 1 < L:
+            v = v | (d16[q + 1] << np.uint32(16 - off))
+        out.append(v & np.uint32(MASK7))
+    return out
+
+
+class _FieldVm:
+    """VPU field helpers over (L, R, C) 16-bit limb tensors (shared by
+    the numpy path and the Pallas kernel; mirrors pallas_ntt)."""
+
+    def __init__(self, xp, field: FieldSpec):
+        self.xp = xp
+        self.L = field.num_limbs
+        self.n16 = np.uint32(field.n16)
+        self.p_scalars = [np.uint32(int(v)) for v in field.p_limbs]
+
+    def normalize_condsub(self, rows):
+        """L column vectors (+ carries inside) -> canonical < p limbs."""
+        xp, L = self.xp, self.L
+        c = xp.zeros(rows[0].shape, np.uint32)
+        norm = []
+        for j in range(L):
+            t = rows[j] + c
+            norm.append(t & np.uint32(MASK16))
+            c = t >> np.uint32(16)
+        borrow = xp.zeros(rows[0].shape, np.uint32)
+        diff = []
+        for j in range(L):
+            t = norm[j] + np.uint32(0x10000) - self.p_scalars[j] - borrow
+            diff.append(t & np.uint32(MASK16))
+            borrow = np.uint32(1) - (t >> np.uint32(16))
+        ge = (borrow == 0)[None]
+        return xp.where(ge, xp.stack(diff), xp.stack(norm))
+
+    def redc_cols(self, cols, steps: int):
+        """Interleaved 16-bit REDC over redundant columns ``cols`` (list
+        of (R, C) uint32, values < ~2^28): divides by 2^(16*steps).
+        Requires len(cols) - steps >= L and the result < 2p."""
+        xp, L = self.xp, self.L
+        cols = list(cols)
+        carry = xp.zeros(cols[0].shape, np.uint32)
+        for _ in range(steps):
+            v = cols[0] + carry
+            m = (v * self.n16) & np.uint32(MASK16)
+            mp = [m * pj for pj in self.p_scalars]
+            carry = (v + (mp[0] & np.uint32(MASK16))) >> np.uint32(16)
+            nxt = list(cols[1:])
+            for j in range(1, L):
+                nxt[j - 1] = nxt[j - 1] + (mp[j] & np.uint32(MASK16)) \
+                    + (mp[j - 1] >> np.uint32(16))
+            nxt[L - 1] = nxt[L - 1] + (mp[L - 1] >> np.uint32(16))
+            cols = nxt
+        cols[0] = cols[0] + carry
+        return self.normalize_condsub(cols[:L])
+
+    def mont_mul(self, a, b):
+        """(L, R, C) x (L, R, C) Montgomery product (16-bit limbs)."""
+        xp, L = self.xp, self.L
+        zero = xp.zeros(a.shape[1:], np.uint32)
+        acc = [zero] * (2 * L)
+        for i in range(L - 1, -1, -1):
+            acc = [zero] + acc[:-1]
+            prod = [a[i] * b[j] for j in range(L)]
+            for j in range(L):
+                acc[j] = acc[j] + (prod[j] & np.uint32(MASK16))
+                acc[j + 1] = acc[j + 1] + (prod[j] >> np.uint32(16))
+        return self.redc_cols(acc, L)
+
+
+def _add_rows(xp, acc, start, p_m):
+    if xp is np:
+        acc[start:start + p_m.shape[0]] += p_m
+        return acc
+    return acc.at[start:start + p_m.shape[0]].add(p_m)
+
+
+def _add_cols(xp, acc, start, p_m):
+    if xp is np:
+        acc[:, start:start + p_m.shape[1]] += p_m
+        return acc
+    return acc.at[:, start:start + p_m.shape[1]].add(p_m)
+
+
+def _stage_matmul(xp, dot, w7, d7_blocks, data_left: bool):
+    """One four-step DFT stage as L7 int8 matmuls + shifted accumulate.
+
+    ``d7_blocks``: list of L7 (R, C) uint32 7-bit data values.
+    ``w7``: (L7, K, K) int8 constants.  data_left=False computes
+    W @ D (contracting D's rows); data_left=True computes D @ W
+    (contracting D's columns).  Returns 2*L7-1 redundant base-2^7
+    columns as (R, C) uint32 arrays (max block index m+l = 2*L7-2, so
+    the accumulator is exactly n_cols blocks wide).
+    """
+    n_cols = 2 * L7 - 1
+    if data_left:
+        d_exp = xp.concatenate(d7_blocks, axis=0).astype(np.int8)  # (L7*R, C)
+        rows, cols = d7_blocks[0].shape
+        acc = xp.zeros((n_cols * rows, cols), np.uint32)
+        for m in range(L7):
+            p_m = dot(d_exp, w7[m])  # (L7*R, C)
+            acc = _add_rows(xp, acc, m * rows, p_m)
+        return [acc[t * rows:(t + 1) * rows] for t in range(n_cols)]
+    d_exp = xp.concatenate(d7_blocks, axis=1).astype(np.int8)  # (R, L7*C)
+    rows, cols = d7_blocks[0].shape
+    acc = xp.zeros((w7.shape[1], n_cols * cols), np.uint32)
+    for m in range(L7):
+        p_m = dot(w7[m], d_exp)  # (K, L7*C)
+        acc = _add_cols(xp, acc, m * cols, p_m)
+    return [acc[:, t * cols:(t + 1) * cols] for t in range(n_cols)]
+
+
+def _regroup_7_to_16(xp, cols7):
+    """Base-2^7 redundant columns -> 16-bit redundant columns < ~2^19.
+
+    Two carry-taming passes bound each base-2^7 column by ~2^13 so the
+    << 15 regroup shift cannot overflow uint32."""
+    zero = xp.zeros(cols7[0].shape, np.uint32)
+    c = list(cols7) + [zero]
+    for _ in range(2):
+        shifted = [zero] + [v >> np.uint32(7) for v in c]
+        c = [(v & np.uint32(MASK7)) + s for v, s in zip(c + [zero], shifted)]
+    total_bits = 7 * len(c)
+    n16_cols = total_bits // 16 + 2
+    out = [zero] * n16_cols
+    for t, v in enumerate(c):
+        bit = 7 * t
+        u, sh = bit // 16, bit % 16
+        sv = v << np.uint32(sh)
+        out[u] = out[u] + (sv & np.uint32(MASK16))
+        out[u + 1] = out[u + 1] + (sv >> np.uint32(16))
+    return out
+
+
+def _row_core(xp, dot, x16, consts, field: FieldSpec):
+    """Transform one row: x16 (L, n2, n1) 16-bit Montgomery limbs of
+    A^T -> (L, n1, n2) limbs of E (natural-order output).  Pure integer
+    math over ``xp`` (numpy or jnp-inside-Pallas)."""
+    w2_7, w1_7, t16 = consts
+    L = field.num_limbs
+    fv = _FieldVm(xp, field)
+
+    # stage 1: B^T = W2 @ A^T  (data right, limbs in columns)
+    d7 = _limbs16_to_7(xp, x16)
+    cols7 = _stage_matmul(xp, dot, w2_7, d7, data_left=False)
+    b16 = fv.redc_cols(_regroup_7_to_16(xp, cols7), REDC_STEPS)
+
+    # stage 2: pointwise twiddle (T'' carries R*2^32 [*n^-1])
+    c16 = fv.mont_mul(b16, xp.asarray(t16))
+
+    # stage 3: E^T = C^T @ W1  (data left, limbs in rows)
+    d7 = _limbs16_to_7(xp, c16)
+    cols7 = _stage_matmul(xp, dot, w1_7, d7, data_left=True)
+    e_t = fv.redc_cols(_regroup_7_to_16(xp, cols7), REDC_STEPS)  # (L, n2, n1)
+
+    return xp.stack([xp.swapaxes(e_t[q], 0, 1) for q in range(L)])
+
+
+def mxu_ntt_numpy(field: FieldSpec, x, n: int, inverse: bool = False):
+    """Exact numpy execution of the kernel's integer path.
+
+    ``x``: (B, n, L) uint32 Montgomery limbs -> same shape, transformed.
+    Hermetic spec for the Pallas kernel (tests bit-compare both against
+    DomainOps)."""
+    n1, n2 = split_n(n)
+    L = field.num_limbs
+    consts = _const_data(field.name, n, inverse)
+    out = np.empty_like(x)
+    for r in range(x.shape[0]):
+        xt = np.ascontiguousarray(
+            x[r].reshape(n2, n1, L).transpose(2, 0, 1))  # (L, n2, n1)
+        e = _row_core(np, _np_dot_i32, xt, consts, field)  # (L, n1, n2)
+        out[r] = e.reshape(L, n).transpose(1, 0)
+    return out
+
+
+ROW_TILE = 1  # batch rows per kernel instance (VMEM-bound)
+
+
+@functools.lru_cache(maxsize=None)
+def _mxu_kernel_factory(field_name: str, n: int, inverse: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    field = FIELDS[field_name]
+    L = field.num_limbs
+    n1, n2 = split_n(n)
+    w2_7, w1_7, t16 = _const_data(field_name, n, inverse)
+
+    def dot_i32(a, b):
+        return jax.lax.dot(a, b, preferred_element_type=jnp.int32
+                           ).astype(jnp.uint32)
+
+    def kernel(x_ref, w2_ref, w1_ref, t_ref, out_ref):
+        x16 = x_ref[0].reshape(L, n2, n1)
+        consts = (w2_ref[:, :, :], w1_ref[:, :, :], t_ref[:, :, :])
+        e = _row_core(jnp, dot_i32, x16, consts, field)  # (L, n1, n2)
+        out_ref[0] = e.reshape(L * n1, n2)
+
+    def run(x_lrows):
+        """x: (B, L*n2, n1) -> (B, L*n1, n2)."""
+        B = x_lrows.shape[0]
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B, L * n1, n2), jnp.uint32),
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, L * n2, n1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L7, n2, n2), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L7, n1, n1), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, n2, n1), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, L * n1, n2), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(x_lrows, jnp.asarray(w2_7), jnp.asarray(w1_7), jnp.asarray(t16))
+
+    return run
+
+
+def mxu_ntt_pallas(field: FieldSpec, x, n: int, inverse: bool = False):
+    """Batched MXU NTT on (B, n, L) Montgomery arrays (natural order
+    in/out; no bit-reversal needed for the four-step algorithm)."""
+    import jax.numpy as jnp
+
+    n1, n2 = split_n(n)
+    L = field.num_limbs
+    B = x.shape[0]
+    # (B, n, L) -> (B, L, n2, n1) -> (B, L*n2, n1)
+    xt = jnp.transpose(x.reshape(B, n2, n1, L), (0, 3, 1, 2))
+    run = _mxu_kernel_factory(field.name, n, inverse)
+    out = run(xt.reshape(B, L * n2, n1))  # (B, L*n1, n2)
+    return jnp.transpose(out.reshape(B, L, n), (0, 2, 1))

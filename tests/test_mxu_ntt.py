@@ -1,0 +1,50 @@
+"""MXU four-step NTT: hermetic validation of the exact integer path.
+
+mxu_ntt_numpy runs the SAME shared numeric core as the Pallas kernel
+(7-bit limb matmuls, shifted base-2^7 accumulation, regroup, 17-step
+REDC, R*2^32 twiddle compensation) with numpy standing in for the MXU
+dot — bit-compared against the production DomainOps NTT."""
+
+import numpy as np
+import pytest
+
+from ligero_tpu.engine.fieldops import FieldKernel
+from ligero_tpu.engine.mxu_ntt import mxu_ntt_numpy, split_n
+from ligero_tpu.engine.ntt import DomainOps
+from ligero_tpu.fields import BN254_FR
+
+F = BN254_FR
+
+
+def test_split_n():
+    assert split_n(1024) == (32, 32)
+    assert split_n(2048) == (64, 32)
+    assert split_n(4096) == (64, 64)
+    assert split_n(8192) == (128, 64)
+    assert split_n(16384) == (128, 128)
+
+
+@pytest.mark.parametrize("n", [64, 256, 2048])
+@pytest.mark.parametrize("inverse", [False, True])
+def test_mxu_ntt_matches_domain_ops(n, inverse):
+    fk = FieldKernel(F, np)
+    dom = DomainOps(fk, n)
+    rng = np.random.default_rng(n + inverse)
+    limbs = F.ints_to_mont_limbs(
+        [int(v) for v in rng.integers(0, 2 ** 62, 2 * n)]
+    ).reshape(2, n, F.num_limbs)
+    ref = np.asarray(dom.ifft(limbs) if inverse else dom.fft_padded(limbs))
+    got = mxu_ntt_numpy(F, limbs, n, inverse=inverse)
+    assert np.array_equal(got, ref)
+
+
+def test_mxu_ntt_edge_values():
+    """p-1 / 0 / 1 operands stress the REDC bound (T max when all
+    operands are ~p)."""
+    n = 256
+    fk = FieldKernel(F, np)
+    dom = DomainOps(fk, n)
+    vals = [F.p - 1] * (n // 2) + [0, 1] * (n // 4)
+    limbs = F.ints_to_mont_limbs(vals).reshape(1, n, F.num_limbs)
+    assert np.array_equal(mxu_ntt_numpy(F, limbs, n),
+                          np.asarray(dom.fft_padded(limbs)))
