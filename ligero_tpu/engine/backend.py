@@ -91,8 +91,28 @@ class Backend:
     # ------------------------------------------------------------------
     # protocol building blocks
     # ------------------------------------------------------------------
+    def _use_mxu(self, n: int) -> bool:
+        """Route transforms of size n through the MXU four-step kernel
+        (opt-in via LIGERO_MXU_NTT=1 until TPU-benchmarked as default).
+        Needs both factors >= 32 so the int8 matmuls tile the MXU."""
+        if not (self.use_pallas_ntt and self._mxu_ntt_enabled):
+            return False
+        from .mxu_ntt import split_n
+        return split_n(n)[1] >= 32
+
+    _mxu_ntt_enabled = __import__("os").environ.get("LIGERO_MXU_NTT") == "1"
+
     def _fft_padded(self, coeffs, n: int):
         """fft with zero-extension, routed to Pallas on accelerators."""
+        if self._use_mxu(n):
+            from .mxu_ntt import mxu_ntt_pallas
+            xp = self.xp
+            k = coeffs.shape[-2]
+            if k < n:
+                pad = xp.zeros(coeffs.shape[:-2] + (n - k, coeffs.shape[-1]),
+                               np.uint32)
+                coeffs = xp.concatenate([coeffs, pad], axis=-2)
+            return mxu_ntt_pallas(self.field, coeffs, n)
         if self.use_pallas_ntt:
             from .pallas_ntt import ntt_pallas
             xp = self.xp
@@ -105,6 +125,9 @@ class Backend:
         return self.domain(n).fft_padded(coeffs)
 
     def _ifft(self, evals, n: int):
+        if self._use_mxu(n):
+            from .mxu_ntt import mxu_ntt_pallas
+            return mxu_ntt_pallas(self.field, evals, n, inverse=True)
         if self.use_pallas_ntt:
             from .pallas_ntt import ntt_pallas
             return ntt_pallas(self.field, evals, n, inverse=True)

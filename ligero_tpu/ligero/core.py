@@ -96,10 +96,18 @@ class LigeroCircuit:
 
     def __init__(self, circuit: ArithmeticCircuit, outputs: list[int],
                  lambda_: int = DEFAULT_SECURITY_LEVEL,
-                 backend: Backend | None = None):
+                 backend: Backend | None = None,
+                 rate_inv: int = 8):
         field = circuit.field
         self.field = field
         self.backend = backend or get_backend(field)
+        # framework extension: the reference hard-codes n = 8k
+        # (mod.rs:284, TODO'd as provisional at :282); any power-of-two
+        # inverse rate >= 2 keeps every protocol identity intact (the
+        # verifier's 2k-domain cofactor trick needs 2k | n)
+        if rate_inv < 2 or rate_inv & (rate_inv - 1):
+            raise ValueError("rate_inv must be a power of two >= 2")
+        self.rate_inv = rate_inv
 
         one_index = circuit.constants.get(1)
         if one_index is not None:
@@ -175,7 +183,7 @@ class LigeroCircuit:
         return m, k
 
     def _reed_solomon_parameters(self, m: int, k: int, lambda_: int) -> tuple[int, int]:
-        n = 8 * k
+        n = self.rate_inv * k  # reference: 8*k (mod.rs:284)
         return n, calculate_t(self.field, lambda_, (n - k + 1, n), n)
 
     def _generate_matrices(self, circuit, outputs, num_cols, index_map) -> SparseMatrix:

@@ -410,3 +410,36 @@ def test_calculate_t_float_robustness():
         margin = min(ratio - math.floor(ratio), math.ceil(ratio) - ratio)
         if t < n:  # unsaturated: the ceil is load-bearing
             assert margin > 1e-6, (n, ratio)
+
+
+@pytest.mark.parametrize("rate_inv", [2, 4, 16])
+def test_configurable_rate(rate_inv):
+    """Framework extension: any power-of-two inverse rate (the reference
+    hard-codes 8, mod.rs:284)."""
+    F = BN254_FR
+    c = ArithmeticCircuit(F)
+    x = c.new_variable_with_label("x")
+    c.add(c.pow(x, 3), c.constant(-26))
+    lig = LigeroCircuit(c, [c.last()], rate_inv=rate_inv)
+    assert lig.n == rate_inv * lig.k
+    sponge = test_sponge(F)
+    proof = lig.prove_with_labels([("x", 3)], sponge.clone())
+    assert lig.verify(proof, sponge.clone())
+    # a proof at one rate must not verify at another
+    other = LigeroCircuit(*_clone_cubeish(F), rate_inv=8)
+    assert not other.verify(proof, sponge.clone())
+
+
+def _clone_cubeish(F):
+    c = ArithmeticCircuit(F)
+    x = c.new_variable_with_label("x")
+    c.add(c.pow(x, 3), c.constant(-26))
+    return c, [c.last()]
+
+
+def test_invalid_rate_rejected():
+    F = BN254_FR
+    c, outs = _clone_cubeish(F)
+    for bad in (0, 1, 3, 12):
+        with pytest.raises(ValueError):
+            LigeroCircuit(c, outs, rate_inv=bad)
