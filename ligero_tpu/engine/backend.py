@@ -247,6 +247,27 @@ class Backend:
 
         return self._jit(("rs_canon", k, n, preenc.shape), run)(self.asarray(preenc))
 
+    def ntt_and_canon(self, coeffs, n: int):
+        """Fused coefficient-space encode + Montgomery->canonical:
+        (B, w, L) coefficient rows (w <= n, zero-extended) -> (B, n, L)
+        canonical codewords.  The zk prover's commit path: blinded rows are
+        already in coefficient space, so the iNTT half of
+        :meth:`rs_encode_and_canon` is skipped."""
+
+        def run(x):
+            if self.use_pallas_ntt:
+                from .pallas_ntt import ntt_pallas
+                xp = self.xp
+                w = x.shape[-2]
+                if w < n:
+                    x = xp.concatenate(
+                        [x, xp.zeros(x.shape[:-2] + (n - w, x.shape[-1]),
+                                     np.uint32)], axis=-2)
+                return ntt_pallas(self.field, x, n, from_mont_out=True)
+            return self._from_mont_chunked(self._fft_padded(x, n))
+
+        return self._jit(("ntt_canon", n, coeffs.shape), run)(self.asarray(coeffs))
+
     def to_mont(self, a):
         return self._jit(("to_mont", a.shape), self.fk.to_mont)(self.asarray(a))
 

@@ -25,11 +25,17 @@ import numpy as np
 from .. import native
 from ..circuit.arithmetic import ADD, CONST, MUL, VAR, ArithmeticCircuit
 from ..engine.backend import Backend, get_backend
+from ..engine.fieldops import FieldKernel
 from ..fields import FieldSpec
 from ..hashes import column_hash
 from ..matrices import SparseMatrix
 from ..merkle import MerkleTree, create_merkle_tree
-from ..sampling import get_distinct_indices_from_prng, rand_field_elements_limbs
+from ..sampling import (
+    get_distinct_indices_excluding,
+    get_distinct_indices_from_prng,
+    rand_field_elements,
+    rand_field_elements_limbs,
+)
 from ..utils.profiling import phase_timer
 from .proof import (
     InterleavedProof,
@@ -97,7 +103,7 @@ class LigeroCircuit:
     def __init__(self, circuit: ArithmeticCircuit, outputs: list[int],
                  lambda_: int = DEFAULT_SECURITY_LEVEL,
                  backend: Backend | None = None,
-                 rate_inv: int = 8):
+                 rate_inv: int = 8, zk: bool = False):
         field = circuit.field
         self.field = field
         self.backend = backend or get_backend(field)
@@ -108,6 +114,7 @@ class LigeroCircuit:
         if rate_inv < 2 or rate_inv & (rate_inv - 1):
             raise ValueError("rate_inv must be a power of two >= 2")
         self.rate_inv = rate_inv
+        self.zk = zk
 
         one_index = circuit.constants.get(1)
         if one_index is not None:
@@ -124,6 +131,38 @@ class LigeroCircuit:
                           + len(outputs))
         self.m, self.k = self._compute_dimensions(sol_vec_length)
         self.n, self.t = self._reed_solomon_parameters(self.m, self.k, lambda_)
+
+        # zk extension (the reference is explicitly non-zk, README.md:2-7):
+        # each row's codeword polynomial is blinded by (x^k - 1)*s_i with
+        # s_i random of degree < b = 3t (the three column openings are
+        # independent, so up to 3t distinct columns get revealed); the
+        # blinding vanishes on the embedded message domain, so the
+        # constraint system and the A matrix are untouched, and any <= 3t
+        # opened off-domain columns are uniform.  Three extra committed
+        # mask rows hide the three revealed objects (interleaved lc /
+        # linear q / quadratic p0), and column sampling excludes the k
+        # message-domain points (where blinding vanishes).
+        if zk:
+            k, n, t = self.k, self.n, self.t
+            b = 3 * t
+            self.blind_t = b
+            self.blind_len = k + b          # row coefficient width
+            # evaluation domain for the product polys (deg p0 <= 2(k+b)-2)
+            self.d2 = max(2 * k, 1 << (2 * (k + b) - 2).bit_length())
+            self.lin_bound = 2 * k + b - 1       # reject deg(q) >= this
+            self.quad_bound = 2 * (k + b) - 1    # reject deg(p0) >= this
+            if t > n - k or self.d2 > n or self.blind_len > n:
+                raise ValueError(
+                    "circuit too small for zk at this rate: need t <= n - k "
+                    f"and next_pow2(2(k+3t)) <= n (k={k}, n={n}, t={t})")
+        else:
+            self.blind_t = 0
+            self.blind_len = self.k
+            self.d2 = 2 * self.k
+            self.lin_bound = 2 * self.k - 1
+            self.quad_bound = 2 * self.k - 1
+        # committed matrix rows: 4m data (+3 zk mask rows)
+        self.num_rows = 4 * self.m + (3 if zk else 0)
 
         # original index -> constant-filtered index
         index_map = {0: 0}
@@ -266,13 +305,15 @@ class LigeroCircuit:
     # ------------------------------------------------------------------
     # prover (reference mod.rs:435-611)
     # ------------------------------------------------------------------
-    def prove(self, var_assignment: list[tuple[int, int]], sponge) -> LigeroProof:
+    def prove(self, var_assignment: list[tuple[int, int]], sponge,
+              zk_seed: bytes | None = None) -> LigeroProof:
         bumped = [(self._bump_index(i), v) for i, v in var_assignment]
-        return self._prove_inner(bumped, sponge)
+        return self._prove_inner(bumped, sponge, zk_seed)
 
-    def prove_with_labels(self, var_assignment: list[tuple[str, int]], sponge) -> LigeroProof:
+    def prove_with_labels(self, var_assignment: list[tuple[str, int]], sponge,
+                          zk_seed: bytes | None = None) -> LigeroProof:
         indexed = [(self.circuit.variables[lbl], v) for lbl, v in var_assignment]
-        return self._prove_inner(indexed, sponge)
+        return self._prove_inner(indexed, sponge, zk_seed)
 
     def _solution_vectors(self, var_assignment):
         trace = self.circuit.evaluation_trace_multioutput(var_assignment, self.outputs)
@@ -387,7 +428,10 @@ class LigeroCircuit:
         limbs16 = native.u64_to_u16_limbs(stacked, self.field.num_limbs)
         return limbs16.reshape(4 * self.m, self.k, self.field.num_limbs)
 
-    def _prove_inner(self, var_assignment, sponge) -> LigeroProof:
+    def _prove_inner(self, var_assignment, sponge,
+                     zk_seed: bytes | None = None) -> LigeroProof:
+        if self.zk:
+            return self._prove_inner_zk(var_assignment, sponge, zk_seed)
         be = self.backend
         m, k, n = self.m, self.k, self.n
 
@@ -449,6 +493,155 @@ class LigeroCircuit:
             u_coeffs[i:i + rows] = be.to_numpy(c)[:rows]
             u_canon[i:i + rows] = be.to_numpy(uc)[:rows]
         return u_coeffs, None, u_canon
+
+    # ------------------------------------------------------------------
+    # zk prover (framework extension; the reference is explicitly non-zk,
+    # /root/reference/README.md:2-7 — construction notes in __init__)
+    # ------------------------------------------------------------------
+    def _host_fk(self) -> FieldKernel:
+        if not hasattr(self, "_hostfk"):
+            self._hostfk = FieldKernel(self.field, np)
+        return self._hostfk
+
+    def _intt_streamed(self, preenc) -> np.ndarray:
+        """iNTT_k of all rows, chunked within the device-buffer budget."""
+        be = self.backend
+        rows, k, L = preenc.shape
+        if not be.use_jax or rows * k * L * 4 <= Backend.MAX_DEVICE_BYTES:
+            return be.to_numpy(be.intt(preenc, k))
+        chunk = max(8, Backend.MAX_DEVICE_BYTES // (k * L * 4))
+        out = np.empty((rows, k, L), np.uint32)
+        for i in range(0, rows, chunk):
+            blk = np.asarray(preenc[i:i + chunk])
+            r = blk.shape[0]
+            if r < chunk:
+                blk = np.concatenate(
+                    [blk, np.zeros((chunk - r, k, L), np.uint32)])
+            out[i:i + r] = be.to_numpy(be.intt(blk, k))[:r]
+        return out
+
+    def _zk_encode_streamed(self, rows_coeffs: np.ndarray) -> np.ndarray:
+        """Coefficient rows -> canonical n-point codewords, row-chunked."""
+        be, n = self.backend, self.n
+        rows, w, L = rows_coeffs.shape
+        if not be.use_jax or rows * n * L * 4 <= Backend.MAX_DEVICE_BYTES:
+            return be.to_numpy(be.ntt_and_canon(rows_coeffs, n))
+        chunk = max(8, Backend.MAX_DEVICE_BYTES // (n * L * 4))
+        out = np.empty((rows, n, L), np.uint32)
+        for i in range(0, rows, chunk):
+            blk = rows_coeffs[i:i + chunk]
+            r = blk.shape[0]
+            if r < chunk:
+                blk = np.concatenate(
+                    [blk, np.zeros((chunk - r, w, L), np.uint32)])
+            out[i:i + r] = be.to_numpy(be.ntt_and_canon(blk, n))[:r]
+        return out
+
+    def _prove_inner_zk(self, var_assignment, sponge,
+                        zk_seed: bytes | None) -> LigeroProof:
+        """zk prove: identical Fiat–Shamir schedule to the non-zk prover,
+        with (a) every data row's codeword polynomial blinded by
+        ``(x^k - 1) * s_i`` (s_i random, deg < 3t), (b) three committed
+        mask rows added to U, one per revealed object, and (c) column
+        sampling restricted to off-message-domain points.  Honest-verifier
+        zk in the random-oracle model: the <=3t opened off-domain columns
+        are uniform (the blinding's evaluation map onto any <=3t distinct
+        off-domain points is surjective), and each revealed lc/q/p0 is
+        one-time-padded by its mask row's polynomial."""
+        import hashlib
+        import secrets
+
+        be, field = self.backend, self.field
+        m, k, n, b = self.m, self.k, self.n, self.blind_t
+        L, p = field.num_limbs, field.p
+        if zk_seed is None:
+            zk_seed = secrets.token_bytes(CHACHA_SEED_BYTES)
+
+        def sub_seed(tag: bytes) -> bytes:
+            return hashlib.blake2s(zk_seed + tag).digest()
+
+        with phase_timer.phase("witness+preenc"):
+            preenc = self._build_preenc(var_assignment)
+
+        with phase_timer.phase("zk_blind"):
+            msg_coeffs = self._intt_streamed(preenc)      # (4m, k, L) mont
+            hostfk = self._host_fk()
+            s = rand_field_elements_limbs(
+                field, 4 * m * b, sub_seed(b"rows")).reshape(4 * m, b, L)
+            # u_i = msg_i + (x^k - 1) s_i  (blinding vanishes on the
+            # message domain, so A and the witness semantics are untouched)
+            coeffs = np.zeros((4 * m, k + b, L), np.uint32)
+            coeffs[:, :k] = msg_coeffs
+            coeffs[:, k:] = s
+            coeffs[:, :b] = hostfk.sub(coeffs[:, :b], s)
+
+            # mask rows (canonical-int polynomials)
+            mask0 = rand_field_elements(field, k + b, sub_seed(b"mask0"))
+            maskq = rand_field_elements(field, 2 * k + b - 1, sub_seed(b"maskq"))
+            # sum over the k-point domain is k * sum(coeffs at j = 0 mod k);
+            # force it to zero so the verifier's linear sum check survives
+            maskq[0] = (-sum(maskq[j] for j in range(k, len(maskq), k))) % p
+            rho = rand_field_elements(field, k + 2 * b - 1, sub_seed(b"maskp"))
+            maskp = [0] * (2 * (k + b) - 1)   # (x^k - 1) * rho: vanishes on
+            for j, rv in enumerate(rho):      # the message domain
+                maskp[j + k] = (maskp[j + k] + rv) % p
+                maskp[j] = (maskp[j] - rv) % p
+
+            rows = np.zeros((self.num_rows, self.d2, L), np.uint32)
+            rows[:4 * m, :k + b] = coeffs
+            rows[4 * m, :k + b] = field.ints_to_mont_limbs(mask0)
+            rows[4 * m + 1, :2 * k + b - 1] = field.ints_to_mont_limbs(maskq)
+            rows[4 * m + 2, :2 * (k + b) - 1] = field.ints_to_mont_limbs(maskp)
+
+        with phase_timer.phase("rs_encode"):
+            u_canon = self._zk_encode_streamed(rows)      # (4m+3, n, L)
+
+        with phase_timer.phase("commit"):
+            if be.use_jax:
+                leaves, levels = be.commit_columns(u_canon)
+                tree = MerkleTree(leaves, inner_levels=levels)
+            else:
+                leaves = self._column_leaves(u_canon)
+                tree = create_merkle_tree(leaves)
+        u_root = tree.root
+        sponge.absorb_bytes(u_root)                        # FS #1
+
+        with phase_timer.phase("interleaved"):
+            seed_r = sponge.squeeze_bytes(CHACHA_SEED_BYTES)   # FS #2
+            r = self._expand_field(4 * m, seed_r)
+            # coefficient-space lc (the message-space reveal of the non-zk
+            # protocol would strip the blinding), one-time-padded by mask0
+            lc = be.to_numpy(be.row_combine(r, be.asarray(coeffs)))
+            lc = hostfk.add(lc, field.ints_to_mont_limbs(mask0))
+            lc_ints = field.mont_limbs_to_ints(lc)
+            sponge.absorb_field_elems(lc_ints)                 # FS #3
+            cols1, paths1 = self._open_columns(u_canon, tree, sponge)  # FS #4
+            interleaved = InterleavedProof(lc_ints, cols1, paths1)
+
+        with phase_timer.phase("linear"):
+            seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)     # FS #5
+            r_coeffs = self._r_a_coeff_rows(seed)
+            q_mont = be.linear_combination_poly(coeffs, r_coeffs, self.d2)
+            q_data = be.canon_limbs_to_ints(be.from_mont(q_mont))
+            q = _trim([(a + (maskq[i] if i < len(maskq) else 0)) % p
+                       for i, a in enumerate(q_data)])
+            sponge.absorb_field_elems(q)                       # FS #6
+            cols2, paths2 = self._open_columns(u_canon, tree, sponge)  # FS #7
+            linear = LinearConstraintsProof(q, cols2, paths2)
+
+        with phase_timer.phase("quadratic"):
+            seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)     # FS #8
+            r_quad = self._expand_field(m, seed)
+            p0_mont = be.quadratic_combination_poly(
+                coeffs[:3 * m], be.asarray(r_quad), self.d2)
+            p0_data = be.canon_limbs_to_ints(be.from_mont(p0_mont))
+            p0 = _trim([(a + (maskp[i] if i < len(maskp) else 0)) % p
+                        for i, a in enumerate(p0_data)])
+            sponge.absorb_field_elems(p0)                      # FS #9
+            cols3, paths3 = self._open_columns(u_canon, tree, sponge)  # FS #10
+            quadratic = QuadraticConstraintsProof(p0, cols3, paths3)
+
+        return LigeroProof(u_root, interleaved, linear, quadratic)
 
     def _build_preenc(self, var_assignment):
         be = self.backend
@@ -532,9 +725,17 @@ class LigeroCircuit:
         columns, paths = self._open_columns(u_canon, tree, sponge)  # FS #10
         return QuadraticConstraintsProof(p0, columns, paths)
 
+    def _sample_indices(self, seed: bytes) -> list[int]:
+        if self.zk:
+            # exclude the k embedded message-domain points, where the zk
+            # blinding vanishes and a column would leak witness values
+            return get_distinct_indices_excluding(self.n, self.t, seed,
+                                                  self.n // self.k)
+        return get_distinct_indices_from_prng(self.n, self.t, seed)
+
     def _open_columns(self, u_canon, tree, sponge):
         seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)
-        indices = get_distinct_indices_from_prng(self.n, self.t, seed)
+        indices = self._sample_indices(seed)
         columns = [self.field.limbs_to_ints(u_canon[:, j, :]) for j in indices]
         paths = [tree.generate_proof(j) for j in indices]
         return columns, paths
@@ -555,19 +756,18 @@ class LigeroCircuit:
         return False instead of crashing downstream reshapes/indexing
         (robustness gate in front of the untrusted ``from_bytes`` path;
         the reference's in-memory-only proofs never face this)."""
-        four_m = 4 * self.m
-        if len(proof.interleaved.preenc_u_lc) != self.k:
+        if len(proof.interleaved.preenc_u_lc) != self.blind_len:
             return False
         for sub in (proof.interleaved, proof.linear, proof.quadratic):
             if len(sub.columns) != len(sub.paths):
                 return False
-            if any(len(col) != four_m for col in sub.columns):
+            if any(len(col) != self.num_rows for col in sub.columns):
                 return False
         return True
 
     def _verify_column_openings(self, columns, paths, u_root, sponge) -> bool:
         seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)
-        indices = get_distinct_indices_from_prng(self.n, self.t, seed)
+        indices = self._sample_indices(seed)
         if len(columns) != len(indices) or len(paths) != len(indices):
             return False
         for col, idx, path in zip(columns, indices, paths):
@@ -585,6 +785,18 @@ class LigeroCircuit:
         if not self._verify_column_openings(proof.columns, proof.paths,
                                             u_root, sponge):   # FS #4
             return False
+        if self.zk:
+            # the zk reveal is in coefficient space (deg < k + 3t); check
+            # w(omega^j) == <r, U[:4m, j]> + U[mask0, j]
+            lc = be.ints_to_mont(proof.preenc_u_lc).reshape(1, self.blind_len, -1)
+            w = be.mont_to_ints(be.to_numpy(be.ntt(lc, self.n))[0])
+            four_m = 4 * self.m
+            for path, col in zip(proof.paths, proof.columns):
+                rhs = (sum(ri * ci for ri, ci in zip(r, col[:four_m]))
+                       + col[four_m]) % p
+                if w[path.leaf_index] != rhs:
+                    return False
+            return True
         # w = RS(preenc_u_lc); spot check w[j] == <r, U[:, j]>
         lc = be.ints_to_mont(proof.preenc_u_lc).reshape(1, self.k, -1)
         _, w_evals = be.rs_encode_rows(lc, self.k, self.n)
@@ -600,12 +812,15 @@ class LigeroCircuit:
         seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)         # FS #5
         r_coeffs = self._r_a_coeff_rows(seed)
 
-        if _poly_degree(proof.polynomial) >= 2 * k - 1:
+        # d2 = 2k (non-zk, the reference's domain) or next_pow2(2(k+3t))
+        # (zk); stride maps the k message-domain points into the d2 grid
+        d2, stride = self.d2, self.d2 // k
+        if _poly_degree(proof.polynomial) >= self.lin_bound:
             return False
-        q_limbs = be.ints_to_mont(proof.polynomial + [0] * (2 * k - len(proof.polynomial)))
-        inter_evals = be.mont_to_ints(be.ntt(q_limbs.reshape(1, 2 * k, -1), 2 * k)[0])
-        # sum over the small domain == 0 (even indices of the 2k domain)
-        if sum(inter_evals[0::2]) % p != 0:
+        q_limbs = be.ints_to_mont(proof.polynomial + [0] * (d2 - len(proof.polynomial)))
+        inter_evals = be.mont_to_ints(be.ntt(q_limbs.reshape(1, d2, -1), d2)[0])
+        # sum over the small domain == 0
+        if sum(inter_evals[0::stride]) % p != 0:
             return False
 
         sponge.absorb_field_elems(proof.polynomial)            # FS #6
@@ -613,7 +828,7 @@ class LigeroCircuit:
                                             u_root, sponge):   # FS #7
             return False
 
-        cofactor = self.n // (2 * k)
+        cofactor = self.n // d2
         # RS encodings of all 4m r_i polynomials, gathered at the opened
         # columns on-device (values identical to the reference's full
         # n-point encodes, mod.rs:815-819, evaluated lazily per column)
@@ -628,6 +843,8 @@ class LigeroCircuit:
                 q_j = _horner(proof.polynomial, pow(self._omega_n, j, p), p)
             col_r = self.field.mont_limbs_to_ints(r_evals_cols[:, pos, :])
             lhs = sum(ri * ci for ri, ci in zip(col_r, col)) % p
+            if self.zk:
+                lhs = (lhs + col[4 * self.m + 1]) % p
             if lhs != q_j:
                 return False
         return True
@@ -637,14 +854,15 @@ class LigeroCircuit:
         seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)         # FS #8
         r_quad = self.field.mont_limbs_to_ints(self._expand_field(m, seed))
 
-        if _poly_degree(proof.polynomial) >= 2 * k - 1:
+        d2, stride = self.d2, self.d2 // k
+        if _poly_degree(proof.polynomial) >= self.quad_bound:
             return False
-        p0_limbs = be.ints_to_mont(proof.polynomial + [0] * (2 * k - len(proof.polynomial)))
-        inter_evals = be.mont_to_ints(be.ntt(p0_limbs.reshape(1, 2 * k, -1), 2 * k)[0])
-        if any(inter_evals[2 * c] != 0 for c in range(k)):
+        p0_limbs = be.ints_to_mont(proof.polynomial + [0] * (d2 - len(proof.polynomial)))
+        inter_evals = be.mont_to_ints(be.ntt(p0_limbs.reshape(1, d2, -1), d2)[0])
+        if any(inter_evals[stride * c] != 0 for c in range(k)):
             return False
 
-        cofactor = self.n // (2 * k)
+        cofactor = self.n // d2
         sponge.absorb_field_elems(proof.polynomial)            # FS #9
         if not self._verify_column_openings(proof.columns, proof.paths,
                                             u_root, sponge):   # FS #10
@@ -658,6 +876,8 @@ class LigeroCircuit:
                 lhs = _horner(proof.polynomial, pow(self._omega_n, j, p), p)
             rhs = sum(r_i * (col[i] * col[i + m] - col[i + 2 * m])
                       for i, r_i in enumerate(r_quad)) % p
+            if self.zk:
+                rhs = (rhs + col[4 * m + 2]) % p
             if lhs != rhs:
                 return False
         return True

@@ -142,6 +142,25 @@ def get_distinct_indices_from_prng(n: int, t: int, seed: bytes) -> list[int]:
     return [i for i in range(n) if i not in selected]
 
 
+def get_distinct_indices_excluding(n: int, t: int, seed: bytes,
+                                   stride: int) -> list[int]:
+    """zk-mode column sampling: ``t`` sorted distinct indices in ``[0, n)``
+    avoiding multiples of ``stride`` (the embedded message-domain points,
+    where the zk row blinding vanishes and a column would reveal witness
+    values directly).  Framework extension — no reference counterpart; the
+    draw stream is the same rand-0.8 ``gen_range`` as the non-zk sampler,
+    with excluded points rejected like duplicates."""
+    if t > n - n // stride:
+        raise ValueError("not enough off-domain columns to sample")
+    rng = ChaChaRng(seed, rounds=20)
+    selected: set[int] = set()
+    while len(selected) < t:
+        j = gen_range(rng, n)
+        if j % stride:
+            selected.add(j)
+    return sorted(selected)
+
+
 def get_field_elements_from_prng(field: FieldSpec, n: int, seed: bytes) -> list[int]:
     """reference src/utils.rs:23-29 (canonical ints)."""
     return rand_field_elements(field, n, seed)
