@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..fields import FieldSpec
+from .devmatrix import RowChunkedMatrix
 from .fieldops import FieldKernel
 from .hashops import HashKernel, be_words_to_bytes, words_to_le_bytes
 from .ntt import DomainOps
@@ -68,6 +69,10 @@ class Backend:
         self.hk = HashKernel(self.xp, unroll=unroll)
         self._domains: dict[int, DomainOps] = {}
         self._jit_cache: dict = {}
+        # single-device backends keep oversized matrices device-resident
+        # (RowChunkedMatrix); ShardedBackend opts out (its arrays are
+        # already mesh-distributed)
+        self.resident_ok = use_jax
 
     # ------------------------------------------------------------------
     def domain(self, n: int) -> DomainOps:
@@ -163,28 +168,35 @@ class Backend:
         """
         js = np.ascontiguousarray(np.asarray(js, dtype=np.int32))
         B, _, L = coeffs.shape
+        jdev = self.asarray(js)
 
-        def run(x):
+        # indices are a traced argument, NOT a baked constant: the opened
+        # columns change every proof, and a js-keyed jit would force a
+        # fresh (minutes-long remote) TPU compile per verification
+        def run(x, j):
             ev = self._fft_padded(x, n)
-            return self.xp.take(ev, self.xp.asarray(js), axis=1)
+            return self.xp.take(ev, j, axis=1)
 
         if self.use_jax and B * n * L * 4 > self.MAX_DEVICE_BYTES:
             chunk = max(8, self.MAX_DEVICE_BYTES // (n * L * 4))
-            host = np.asarray(coeffs)
             out = np.empty((B, len(js), L), np.uint32)
             for i in range(0, B, chunk):
-                blk = host[i:i + chunk]
+                # slice in place (device arrays stay on device — no
+                # round-trip through the slow tunnel download path)
+                blk = coeffs[i:i + chunk]
                 rows = blk.shape[0]
+                xp0 = np if isinstance(blk, np.ndarray) else self.xp
                 if rows < chunk:
-                    blk = np.concatenate(
-                        [blk, np.zeros((chunk - rows,) + blk.shape[1:], np.uint32)])
-                res = self._jit(("fft_cols", n, blk.shape, js.tobytes()), run)(
-                    self.asarray(blk))
+                    blk = xp0.concatenate(
+                        [blk, xp0.zeros((chunk - rows,) + tuple(blk.shape[1:]),
+                                        np.uint32)])
+                res = self._jit(("fft_cols", n, tuple(blk.shape), len(js)), run)(
+                    self.asarray(blk), jdev)
                 out[i:i + rows] = self.to_numpy(res)[:rows]
             return out
         return self.to_numpy(
-            self._jit(("fft_cols", n, coeffs.shape, js.tobytes()), run)(
-                self.asarray(coeffs)))
+            self._jit(("fft_cols", n, coeffs.shape, len(js)), run)(
+                self.asarray(coeffs), jdev))
 
     def intt(self, evals, n: int):
         return self._jit(("ifft", n, evals.shape),
@@ -268,6 +280,76 @@ class Backend:
 
         return self._jit(("ntt_canon", n, coeffs.shape), run)(self.asarray(coeffs))
 
+    # ------------------------------------------------------------------
+    # device-resident (RowChunkedMatrix) paths — see devmatrix.py
+    # ------------------------------------------------------------------
+    def rs_encode_resident(self, preenc, k: int, n: int):
+        """RS-encode all rows into device-resident chunked matrices.
+
+        Returns ``(coeffs: RowChunkedMatrix (rows,k,L),
+        canon: RowChunkedMatrix (rows,n,L))``.  Only the (small) message
+        chunks are uploaded; nothing is downloaded — the codeword matrix
+        stays on the device for commit / column opening / poly products.
+        """
+        rows, k_, L = preenc.shape
+        chunk = max(8, self.MAX_DEVICE_BYTES // (n * L * 4))
+        coeff_chunks, canon_chunks = [], []
+        for i in range(0, rows, chunk):
+            blk = np.asarray(preenc[i:i + chunk])
+            r = blk.shape[0]
+            if r < chunk:
+                blk = np.concatenate(
+                    [blk, np.zeros((chunk - r, k_, L), np.uint32)])
+            c, u = self.rs_encode_and_canon(blk, k, n)
+            coeff_chunks.append(c)
+            canon_chunks.append(u)
+        return (RowChunkedMatrix(coeff_chunks, rows, chunk),
+                RowChunkedMatrix(canon_chunks, rows, chunk))
+
+    def _rcm_column_block(self, rcm: RowChunkedMatrix, j0: int, j1: int):
+        """All rows x columns [j0, j1) as one device array (rows, j1-j0, L)."""
+        xp = self.xp
+        blk = xp.concatenate([c[:, j0:j1] for c in rcm.chunks], axis=0)
+        return blk[:rcm.rows]
+
+    def _rcm_row_block(self, rcm: RowChunkedMatrix, r0: int, r1: int,
+                       pad_to: int):
+        """Rows [r0, r1) (crossing chunk boundaries), zero-padded to
+        ``pad_to`` rows, as one device array."""
+        xp = self.xp
+        parts = []
+        i = r0
+        while i < r1:
+            ci, off = divmod(i, rcm.chunk_rows)
+            take = min(rcm.chunk_rows - off, r1 - i)
+            parts.append(rcm.chunks[ci][off:off + take])
+            i += take
+        if r1 - r0 < pad_to:
+            parts.append(xp.zeros((pad_to - (r1 - r0), rcm.n, rcm.L),
+                                  np.uint32))
+        return parts[0] if len(parts) == 1 else xp.concatenate(parts, axis=0)
+
+    def gather_columns(self, u_canon, js) -> np.ndarray:
+        """Columns ``js`` of a (rows, n, L) matrix -> (rows, len(js), L)
+        numpy, gathering on-device (and transferring packed uint16 limbs —
+        the tunnel's device->host path is the bottleneck) when the matrix
+        is device-resident."""
+        js = np.asarray(js, dtype=np.int64)
+        if isinstance(u_canon, RowChunkedMatrix):
+            xp = self.xp
+            jdev = self.asarray(js.astype(np.int32))
+            # indices traced, not baked: fresh indices every proof
+            take = self._jit(("rcm_take", u_canon.chunks[0].shape, len(js)),
+                             lambda c, j: xp.take(c, j, axis=1).astype(np.uint16))
+            parts = [np.asarray(take(c, jdev)) for c in u_canon.chunks]
+            out = np.concatenate(parts, axis=0)[:u_canon.rows]
+            return out.astype(np.uint32)
+        if self.use_jax and not isinstance(u_canon, np.ndarray):
+            jdev = self.xp.asarray(js.astype(np.int32))
+            out = self.xp.take(u_canon, jdev, axis=1).astype(np.uint16)
+            return np.asarray(out).astype(np.uint32)
+        return np.ascontiguousarray(np.asarray(u_canon)[:, js, :])
+
     def to_mont(self, a):
         return self._jit(("to_mont", a.shape), self.fk.to_mont)(self.asarray(a))
 
@@ -303,6 +385,24 @@ class Backend:
         def finish(total):
             return self._ifft(total[None], two_k)[0]
 
+        if isinstance(u_coeffs, RowChunkedMatrix):
+            # chunks are row-aligned with r (pad r on-device to match);
+            # no part of u ever visits the host
+            xp = self.xp
+            rows, k_, L = u_coeffs.shape
+            cr = u_coeffs.chunk_rows
+            r_dev = self.asarray(r_coeffs)
+            pad = len(u_coeffs.chunks) * cr - rows
+            if pad:
+                r_dev = xp.concatenate(
+                    [r_dev, xp.zeros((pad, k_, L), np.uint32)], axis=0)
+            parts = [self._jit(("linq_part", two_k, uc.shape), partial)(
+                uc, r_dev[ci * cr:(ci + 1) * cr])
+                for ci, uc in enumerate(u_coeffs.chunks)]
+            total = self._jit(("linq_sum", two_k, len(parts)),
+                              lambda ps: self.fk.sum_mod(self.xp.stack(ps), axis=0))(parts)
+            return self._jit(("linq_fin", two_k), finish)(total)
+
         B, _, L = u_coeffs.shape
         if self.use_jax and B * two_k * L * 4 > self.MAX_DEVICE_BYTES:
             chunk = max(8, self.MAX_DEVICE_BYTES // (two_k * L * 4))
@@ -328,12 +428,15 @@ class Backend:
         return self._jit(("linq", two_k, u_coeffs.shape), run)(
             self.asarray(u_coeffs), self.asarray(r_coeffs))
 
-    def quadratic_combination_poly(self, xyz_coeffs, r_quad, two_k: int):
+    def quadratic_combination_poly(self, xyz_coeffs, r_quad, two_k: int,
+                                   m: int | None = None):
         """p0 = sum_i r_i * (px_i * py_i - pz_i) on the 2k domain.
 
-        ``xyz_coeffs`` is (3m, k, L); matches reference mod.rs:845-848.
-        Streams in m-chunks when large (same budget rule as
-        ``linear_combination_poly``; padded rows are exact zeros).
+        ``xyz_coeffs`` is (3m, k, L) — or the full device-resident
+        (4m, k, L) ``RowChunkedMatrix`` with ``m`` given, whose x/y/z row
+        blocks are assembled on the device.  Matches reference
+        mod.rs:845-848.  Streams in m-chunks when large (same budget rule
+        as ``linear_combination_poly``; padded rows are exact zeros).
         """
         def partial(x, y, z, r):
             ex = self._fft_padded(x, two_k)
@@ -345,6 +448,27 @@ class Backend:
 
         def finish(total):
             return self._ifft(total[None], two_k)[0]
+
+        if isinstance(xyz_coeffs, RowChunkedMatrix):
+            assert m is not None, "RowChunkedMatrix path needs explicit m"
+            L = xyz_coeffs.L
+            chunk = min(m, max(8, self.MAX_DEVICE_BYTES // (3 * two_k * L * 4)))
+            r_host = np.asarray(r_quad)
+            parts = []
+            for i in range(0, m, chunk):
+                end = min(i + chunk, m)
+                xb = self._rcm_row_block(xyz_coeffs, i, end, chunk)
+                yb = self._rcm_row_block(xyz_coeffs, m + i, m + end, chunk)
+                zb = self._rcm_row_block(xyz_coeffs, 2 * m + i, 2 * m + end, chunk)
+                rb = r_host[i:end]
+                if end - i < chunk:
+                    rb = np.concatenate(
+                        [rb, np.zeros((chunk - (end - i), rb.shape[1]), np.uint32)])
+                parts.append(self._jit(("quadp_part", two_k, xb.shape), partial)(
+                    xb, yb, zb, self.asarray(rb)))
+            total = self._jit(("quadp_sum", two_k, len(parts)),
+                              lambda ps: self.fk.sum_mod(self.xp.stack(ps), axis=0))(parts)
+            return self._jit(("quadp_fin", two_k), finish)(total)
 
         three_m, _, L = xyz_coeffs.shape
         m = three_m // 3
@@ -452,6 +576,23 @@ class Backend:
         chunks (columns are independent; only the tiny digest rows leave
         the device per chunk).
         """
+        if isinstance(u_canon, RowChunkedMatrix):
+            # assemble column blocks on-device from the resident chunks;
+            # only the digest rows (32 B/column) ever leave the device
+            rows, n, L = u_canon.shape
+            nc = max(1, self.MAX_DEVICE_BYTES // (rows * L * 4))
+            if n > 1024 and nc >= 1024:
+                nc = nc // 1024 * 1024  # keep the Pallas 1024-column tiling
+            nc = min(nc, n)
+            parts = [self.to_numpy(self._column_leaves_device(
+                self._rcm_column_block(u_canon, j, min(j + nc, n))))
+                for j in range(0, n, nc)]
+            leaves_le = np.concatenate(parts, axis=0)
+            levels = self._tree_levels(leaves_le)
+            leaves = [words_to_le_bytes(row) for row in self.to_numpy(leaves_le)]
+            inner = [[be_words_to_bytes(row) for row in self.to_numpy(level)]
+                     for level in levels]
+            return leaves, inner
         four_m, n, L = u_canon.shape
         total_bytes = four_m * n * L * 4
         if self.use_jax and total_bytes > self.MAX_DEVICE_BYTES:

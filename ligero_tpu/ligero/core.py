@@ -25,6 +25,7 @@ import numpy as np
 from .. import native
 from ..circuit.arithmetic import ADD, CONST, MUL, VAR, ArithmeticCircuit
 from ..engine.backend import Backend, get_backend
+from ..engine.devmatrix import RowChunkedMatrix
 from ..engine.fieldops import FieldKernel
 from ..fields import FieldSpec
 from ..hashes import column_hash
@@ -82,13 +83,6 @@ def _trim(coeffs: list[int]) -> list[int]:
 
 def _poly_degree(coeffs: list[int]) -> int:
     return max(len(coeffs) - 1, 0)
-
-
-def _horner(coeffs: list[int], x: int, p: int) -> int:
-    acc = 0
-    for c in reversed(coeffs):
-        acc = (acc * x + c) % p
-    return acc
 
 
 class LigeroCircuit:
@@ -180,8 +174,6 @@ class LigeroCircuit:
 
         if (self.n.bit_length() - 1) > field.two_adicity:
             raise ValueError(f"field cannot accommodate FFT of size {self.n}")
-        # host-side domain generators for verifier spot checks
-        self._omega_n = field.root_of_unity(self.n)
 
     # ------------------------------------------------------------------
     # construction helpers (reference mod.rs:230-294)
@@ -440,13 +432,12 @@ class LigeroCircuit:
 
         # Reed–Solomon encode all rows; commit to columns of U
         with phase_timer.phase("rs_encode"):
-            u_coeffs, u_canon_dev, u_canon = self._rs_encode_streamed(preenc)
+            u_coeffs, u_canon = self._rs_encode_streamed(preenc)
 
         with phase_timer.phase("commit"):
             if be.use_jax:
                 # device-side batched Blake2s leaves + SHA-256 tree levels
-                leaves, levels = be.commit_columns(
-                    u_canon if u_canon_dev is None else u_canon_dev)
+                leaves, levels = be.commit_columns(u_canon)
                 tree = MerkleTree(leaves, inner_levels=levels)
             else:
                 leaves = self._column_leaves(u_canon)
@@ -469,17 +460,21 @@ class LigeroCircuit:
         would exceed the single-device-buffer budget (the ~2 GB silent-
         corruption regime on this TPU backend — see Backend.MAX_DEVICE_BYTES).
 
-        Returns ``(u_coeffs, u_canon_dev | None, u_canon_host)``; rows are
-        independent so chunking is exact, and padding keeps one compiled
-        shape per (chunk, k, n).
+        Returns ``(u_coeffs, u_canon)``: plain arrays when the matrix fits
+        one buffer; device-resident ``RowChunkedMatrix`` pairs otherwise
+        (on a tunneled TPU, downloading U costs minutes at a few MB/s —
+        devmatrix.py); host-streamed numpy as the mesh-backend fallback.
+        Rows are independent so chunking is exact, and padding keeps one
+        compiled shape per (chunk, k, n).
         """
         be = self.backend
         four_m, k, L = preenc.shape
         n = self.n
         total = four_m * n * L * 4
         if not be.use_jax or total <= Backend.MAX_DEVICE_BYTES:
-            u_coeffs, u_canon_dev = be.rs_encode_and_canon(preenc, k, n)
-            return u_coeffs, u_canon_dev, be.to_numpy(u_canon_dev)
+            return be.rs_encode_and_canon(preenc, k, n)
+        if getattr(be, "resident_ok", False):
+            return be.rs_encode_resident(preenc, k, n)
         chunk = max(8, Backend.MAX_DEVICE_BYTES // (n * L * 4))
         u_coeffs = np.empty((four_m, k, L), np.uint32)
         u_canon = np.empty((four_m, n, L), np.uint32)
@@ -492,7 +487,7 @@ class LigeroCircuit:
             c, uc = be.rs_encode_and_canon(block, k, n)
             u_coeffs[i:i + rows] = be.to_numpy(c)[:rows]
             u_canon[i:i + rows] = be.to_numpy(uc)[:rows]
-        return u_coeffs, None, u_canon
+        return u_coeffs, u_canon
 
     # ------------------------------------------------------------------
     # zk prover (framework extension; the reference is explicitly non-zk,
@@ -520,21 +515,33 @@ class LigeroCircuit:
             out[i:i + r] = be.to_numpy(be.intt(blk, k))[:r]
         return out
 
-    def _zk_encode_streamed(self, rows_coeffs: np.ndarray) -> np.ndarray:
-        """Coefficient rows -> canonical n-point codewords, row-chunked."""
+    def _zk_encode_streamed(self, rows_coeffs: np.ndarray):
+        """Coefficient rows -> canonical n-point codewords, row-chunked.
+
+        Same residency policy as :meth:`_rs_encode_streamed`: the codeword
+        matrix stays device-resident when it exceeds one buffer."""
         be, n = self.backend, self.n
         rows, w, L = rows_coeffs.shape
         if not be.use_jax or rows * n * L * 4 <= Backend.MAX_DEVICE_BYTES:
-            return be.to_numpy(be.ntt_and_canon(rows_coeffs, n))
+            out = be.ntt_and_canon(rows_coeffs, n)
+            return out if be.use_jax else be.to_numpy(out)
         chunk = max(8, Backend.MAX_DEVICE_BYTES // (n * L * 4))
-        out = np.empty((rows, n, L), np.uint32)
+        resident = getattr(be, "resident_ok", False)
+        chunks = []
+        out = None if resident else np.empty((rows, n, L), np.uint32)
         for i in range(0, rows, chunk):
             blk = rows_coeffs[i:i + chunk]
             r = blk.shape[0]
             if r < chunk:
                 blk = np.concatenate(
                     [blk, np.zeros((chunk - r, w, L), np.uint32)])
-            out[i:i + r] = be.to_numpy(be.ntt_and_canon(blk, n))[:r]
+            enc = be.ntt_and_canon(blk, n)
+            if resident:
+                chunks.append(enc)
+            else:
+                out[i:i + r] = be.to_numpy(enc)[:r]
+        if resident:
+            return RowChunkedMatrix(chunks, rows, chunk)
         return out
 
     def _prove_inner_zk(self, var_assignment, sponge,
@@ -718,8 +725,12 @@ class LigeroCircuit:
         be = self.backend
         seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)         # FS #8
         r_quad = self._expand_field(self.m, seed)
-        xyz = be.to_numpy(u_coeffs)[:3 * self.m]
-        p0_mont = be.quadratic_combination_poly(xyz, be.asarray(r_quad), 2 * self.k)
+        if isinstance(u_coeffs, RowChunkedMatrix):
+            p0_mont = be.quadratic_combination_poly(
+                u_coeffs, be.asarray(r_quad), 2 * self.k, m=self.m)
+        else:
+            p0_mont = be.quadratic_combination_poly(
+                u_coeffs[:3 * self.m], be.asarray(r_quad), 2 * self.k)
         p0 = _trim(be.canon_limbs_to_ints(be.from_mont(p0_mont)))
         sponge.absorb_field_elems(p0)                          # FS #9
         columns, paths = self._open_columns(u_canon, tree, sponge)  # FS #10
@@ -736,7 +747,9 @@ class LigeroCircuit:
     def _open_columns(self, u_canon, tree, sponge):
         seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)
         indices = self._sample_indices(seed)
-        columns = [self.field.limbs_to_ints(u_canon[:, j, :]) for j in indices]
+        cols = self.backend.gather_columns(u_canon, indices)
+        columns = [self.field.limbs_to_ints(cols[:, i, :])
+                   for i in range(len(indices))]
         paths = [tree.generate_proof(j) for j in indices]
         return columns, paths
 
@@ -817,10 +830,14 @@ class LigeroCircuit:
         d2, stride = self.d2, self.d2 // k
         if _poly_degree(proof.polynomial) >= self.lin_bound:
             return False
+        # one n-point NTT of q yields both the small-domain sum check
+        # (the d2 grid is the n grid at stride n/d2) and every opened
+        # column's q(omega^j) — identical values to the reference's
+        # 2k-grid + per-point Horner evaluation (mod.rs:787-805), without
+        # t host big-int Horner loops
         q_limbs = be.ints_to_mont(proof.polynomial + [0] * (d2 - len(proof.polynomial)))
-        inter_evals = be.mont_to_ints(be.ntt(q_limbs.reshape(1, d2, -1), d2)[0])
-        # sum over the small domain == 0
-        if sum(inter_evals[0::stride]) % p != 0:
+        q_evals = be.mont_to_ints(be.ntt(q_limbs.reshape(1, d2, -1), self.n)[0])
+        if sum(q_evals[0::self.n // k]) % p != 0:
             return False
 
         sponge.absorb_field_elems(proof.polynomial)            # FS #6
@@ -828,7 +845,6 @@ class LigeroCircuit:
                                             u_root, sponge):   # FS #7
             return False
 
-        cofactor = self.n // d2
         # RS encodings of all 4m r_i polynomials, gathered at the opened
         # columns on-device (values identical to the reference's full
         # n-point encodes, mod.rs:815-819, evaluated lazily per column)
@@ -837,15 +853,11 @@ class LigeroCircuit:
 
         for pos, (path, col) in enumerate(zip(proof.paths, proof.columns)):
             j = path.leaf_index
-            if j % cofactor == 0:
-                q_j = inter_evals[j // cofactor]
-            else:
-                q_j = _horner(proof.polynomial, pow(self._omega_n, j, p), p)
             col_r = self.field.mont_limbs_to_ints(r_evals_cols[:, pos, :])
             lhs = sum(ri * ci for ri, ci in zip(col_r, col)) % p
             if self.zk:
                 lhs = (lhs + col[4 * self.m + 1]) % p
-            if lhs != q_j:
+            if lhs != q_evals[j]:
                 return False
         return True
 
@@ -854,15 +866,16 @@ class LigeroCircuit:
         seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)         # FS #8
         r_quad = self.field.mont_limbs_to_ints(self._expand_field(m, seed))
 
-        d2, stride = self.d2, self.d2 // k
+        d2 = self.d2
         if _poly_degree(proof.polynomial) >= self.quad_bound:
             return False
+        # single n-point NTT: small-domain vanishing + per-column values
+        # (same trick as _verify_linear; identical ints to Horner)
         p0_limbs = be.ints_to_mont(proof.polynomial + [0] * (d2 - len(proof.polynomial)))
-        inter_evals = be.mont_to_ints(be.ntt(p0_limbs.reshape(1, d2, -1), d2)[0])
-        if any(inter_evals[stride * c] != 0 for c in range(k)):
+        p0_evals = be.mont_to_ints(be.ntt(p0_limbs.reshape(1, d2, -1), self.n)[0])
+        if any(p0_evals[(self.n // k) * c] != 0 for c in range(k)):
             return False
 
-        cofactor = self.n // d2
         sponge.absorb_field_elems(proof.polynomial)            # FS #9
         if not self._verify_column_openings(proof.columns, proof.paths,
                                             u_root, sponge):   # FS #10
@@ -870,14 +883,10 @@ class LigeroCircuit:
 
         for path, col in zip(proof.paths, proof.columns):
             j = path.leaf_index
-            if j % cofactor == 0:
-                lhs = inter_evals[j // cofactor]
-            else:
-                lhs = _horner(proof.polynomial, pow(self._omega_n, j, p), p)
             rhs = sum(r_i * (col[i] * col[i + m] - col[i + 2 * m])
                       for i, r_i in enumerate(r_quad)) % p
             if self.zk:
                 rhs = (rhs + col[4 * m + 2]) % p
-            if lhs != rhs:
+            if p0_evals[j] != rhs:
                 return False
         return True

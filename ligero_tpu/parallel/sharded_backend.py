@@ -141,15 +141,18 @@ class ShardedBackend(Backend):
         js = np.ascontiguousarray(np.asarray(js, dtype=np.int32))
         arr, rows = self._pad_rows(np.asarray(coeffs), self.D)
 
-        def local(x):
+        # indices are a traced (replicated) argument, not a baked
+        # constant: they change every proof and a js-keyed jit would
+        # recompile per verification
+        def local(x, j):
             ev = self._fft_padded(x, n)
-            return self.xp.take(ev, self.xp.asarray(js), axis=1)
+            return self.xp.take(ev, j, axis=1)
 
         spec = P("rows", None, None)
-        fn = self._sharded(("sh_fft_cols", n, arr.shape, js.tobytes()),
-                           local, (spec,), spec)
+        fn = self._sharded(("sh_fft_cols", n, arr.shape, len(js)),
+                           local, (spec, P()), spec)
         with self.mesh:
-            out = fn(self.asarray(arr))
+            out = fn(self.asarray(arr), self.asarray(js))
         return self.to_numpy(out)[:rows]
 
     # ------------------------------------------------------------------

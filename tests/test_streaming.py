@@ -109,3 +109,42 @@ def test_e2e_prove_verify_streamed(small_budget):
     lig_np = LigeroCircuit(c2, [c2.last()], backend=Backend(F))
     proof_np = lig_np.prove_with_labels([("x", 3)], sp.clone())
     assert proof.to_bytes(F) == proof_np.to_bytes(F)
+
+
+def test_rs_encode_resident_matches_host(small_budget):
+    """Device-resident chunked encode == unstreamed numpy encode, and
+    gather_columns pulls bit-identical columns out of the chunks."""
+    be = Backend(F, use_jax=True)
+    be_np = Backend(F)
+    preenc = _rand_mont((24, 8), seed=21)
+    coeffs, canon = be.rs_encode_resident(preenc, 8, 64)
+    c_ref, u_ref = be_np.rs_encode_and_canon(preenc, 8, 64)
+    assert canon.shape == (24, 64, L) and coeffs.shape == (24, 8, L)
+    got = np.concatenate([np.asarray(ch) for ch in canon.chunks])[:24]
+    assert np.array_equal(got, np.asarray(u_ref))
+    js = [0, 5, 33, 63]
+    cols = be.gather_columns(canon, js)
+    assert np.array_equal(cols, np.asarray(u_ref)[:, js, :])
+    cols_np = be_np.gather_columns(np.asarray(u_ref), js)
+    assert np.array_equal(cols, cols_np)
+
+
+def test_e2e_zk_streamed(small_budget):
+    """zk prove+verify through the resident path, byte-compared against
+    the numpy-backend zk proof (same zk seed => identical randomness)."""
+    from ligero_tpu.ligero import LigeroCircuit
+    from ligero_tpu.sponge import test_sponge
+    from ligero_tpu.synthetic import generate_random_circuit
+
+    seed = b"\x05" * 32
+    c, outs, vars_ = generate_random_circuit(F, 96, num_vars=4, seed=3)
+    lig = LigeroCircuit(c, outs, lambda_=10, zk=True,
+                        backend=Backend(F, use_jax=True))
+    sp = test_sponge(F)
+    proof = lig.prove(vars_, sp.clone(), zk_seed=seed)
+    assert lig.verify(proof, sp.clone())
+
+    c2, outs2, vars2 = generate_random_circuit(F, 96, num_vars=4, seed=3)
+    lig_np = LigeroCircuit(c2, outs2, lambda_=10, zk=True, backend=Backend(F))
+    proof_np = lig_np.prove(vars2, sp.clone(), zk_seed=seed)
+    assert proof.to_bytes(F) == proof_np.to_bytes(F)
