@@ -87,6 +87,29 @@ class Backend:
             self._jit_cache[key] = self._jax.jit(fn)
         return self._jit_cache[key]
 
+    def _jit16(self, key, fn):
+        """Like :meth:`_jit`, but numpy uint32 *limb* arguments ship to the
+        device as uint16 and widen on-device — valid because every limb
+        array holds 16-bit limbs by representation invariant, and the
+        tunneled host->device link is slow enough (tens of MB/s) that
+        halving the bytes matters at the 100s-of-MB protocol sizes.
+        Device-resident arguments pass through untouched."""
+        if not self.use_jax:
+            return fn
+        wkey = key + ("u16",)
+        if wkey not in self._jit_cache:
+            def widen(*xs):
+                return fn(*[x.astype(np.uint32) if x.dtype == np.uint16 else x
+                            for x in xs])
+            self._jit_cache[wkey] = self._jax.jit(widen)
+        jfn = self._jit_cache[wkey]
+
+        def call(*args):
+            return jfn(*[a.astype(np.uint16)
+                         if isinstance(a, np.ndarray) and a.dtype == np.uint32
+                         else a for a in args])
+        return call
+
     def asarray(self, a: np.ndarray):
         return self.xp.asarray(a)
 
@@ -150,11 +173,11 @@ class Backend:
             evals = self._fft_padded(coeffs, n)
             return coeffs, evals
 
-        return self._jit(("rs", k, n, preenc.shape), run)(self.asarray(preenc))
+        return self._jit16(("rs", k, n, preenc.shape), run)(preenc)
 
     def ntt(self, coeffs, n: int):
-        return self._jit(("fft", n, coeffs.shape),
-                         lambda x: self._fft_padded(x, n))(self.asarray(coeffs))
+        return self._jit16(("fft", n, coeffs.shape),
+                           lambda x: self._fft_padded(x, n))(coeffs)
 
     def ntt_columns(self, coeffs, n: int, js: np.ndarray) -> np.ndarray:
         """Evaluate all B rows' n-point NTTs but return only columns ``js``:
@@ -199,8 +222,8 @@ class Backend:
                 self.asarray(coeffs), jdev))
 
     def intt(self, evals, n: int):
-        return self._jit(("ifft", n, evals.shape),
-                         lambda x: self._ifft(x, n))(self.asarray(evals))
+        return self._jit16(("ifft", n, evals.shape),
+                           lambda x: self._ifft(x, n))(evals)
 
     def _from_mont_chunked(self, a):
         """Montgomery->canonical with the row axis chunked via lax.map.
@@ -257,7 +280,7 @@ class Backend:
             evals = self._fft_padded(coeffs, n)
             return coeffs, self._from_mont_chunked(evals)
 
-        return self._jit(("rs_canon", k, n, preenc.shape), run)(self.asarray(preenc))
+        return self._jit16(("rs_canon", k, n, preenc.shape), run)(preenc)
 
     def ntt_and_canon(self, coeffs, n: int):
         """Fused coefficient-space encode + Montgomery->canonical:
@@ -278,7 +301,7 @@ class Backend:
                 return ntt_pallas(self.field, x, n, from_mont_out=True)
             return self._from_mont_chunked(self._fft_padded(x, n))
 
-        return self._jit(("ntt_canon", n, coeffs.shape), run)(self.asarray(coeffs))
+        return self._jit16(("ntt_canon", n, coeffs.shape), run)(coeffs)
 
     # ------------------------------------------------------------------
     # device-resident (RowChunkedMatrix) paths — see devmatrix.py
@@ -363,8 +386,7 @@ class Backend:
             prod = self.fk.mont_mul(r_[:, None, :], m_)
             return self.fk.sum_mod(prod, axis=0)
 
-        return self._jit(("rowcomb", r.shape, mat.shape), run)(
-            self.asarray(r), self.asarray(mat))
+        return self._jit16(("rowcomb", r.shape, mat.shape), run)(r, mat)
 
     def linear_combination_poly(self, u_coeffs, r_coeffs, two_k: int):
         """q = sum_i r_i(X) * u_i(X) via pointwise products on the 2k domain.
@@ -416,8 +438,7 @@ class Backend:
                         [ub, np.zeros((pad,) + ub.shape[1:], np.uint32)])
                     rb = np.concatenate(
                         [rb, np.zeros((pad,) + rb.shape[1:], np.uint32)])
-                parts.append(self._jit(("linq_part", two_k, ub.shape), partial)(
-                    self.asarray(ub), self.asarray(rb)))
+                parts.append(self._jit16(("linq_part", two_k, ub.shape), partial)(ub, rb))
             total = self._jit(("linq_sum", two_k, len(parts)),
                               lambda ps: self.fk.sum_mod(self.xp.stack(ps), axis=0))(parts)
             return self._jit(("linq_fin", two_k), finish)(total)
@@ -425,8 +446,8 @@ class Backend:
         def run(u, r):
             return finish(partial(u, r))
 
-        return self._jit(("linq", two_k, u_coeffs.shape), run)(
-            self.asarray(u_coeffs), self.asarray(r_coeffs))
+        return self._jit16(("linq", two_k, u_coeffs.shape), run)(
+            u_coeffs, r_coeffs)
 
     def quadratic_combination_poly(self, xyz_coeffs, r_quad, two_k: int,
                                    m: int | None = None):
@@ -464,8 +485,8 @@ class Backend:
                 if end - i < chunk:
                     rb = np.concatenate(
                         [rb, np.zeros((chunk - (end - i), rb.shape[1]), np.uint32)])
-                parts.append(self._jit(("quadp_part", two_k, xb.shape), partial)(
-                    xb, yb, zb, self.asarray(rb)))
+                parts.append(self._jit16(("quadp_part", two_k, xb.shape), partial)(
+                    xb, yb, zb, rb))
             total = self._jit(("quadp_sum", two_k, len(parts)),
                               lambda ps: self.fk.sum_mod(self.xp.stack(ps), axis=0))(parts)
             return self._jit(("quadp_fin", two_k), finish)(total)
@@ -491,9 +512,8 @@ class Backend:
                     xb, yb, zb = (np.concatenate([v, zpad]) for v in (xb, yb, zb))
                     rb = np.concatenate(
                         [rb, np.zeros((pad, rb.shape[1]), np.uint32)])
-                parts.append(self._jit(("quadp_part", two_k, xb.shape), partial)(
-                    self.asarray(xb), self.asarray(yb), self.asarray(zb),
-                    self.asarray(rb)))
+                parts.append(self._jit16(("quadp_part", two_k, xb.shape), partial)(
+                    xb, yb, zb, rb))
             total = self._jit(("quadp_sum", two_k, len(parts)),
                               lambda ps: self.fk.sum_mod(self.xp.stack(ps), axis=0))(parts)
             return self._jit(("quadp_fin", two_k), finish)(total)
@@ -506,8 +526,8 @@ class Backend:
             total = self.fk.sum_mod(weighted, axis=0)
             return self._ifft(total[None], two_k)[0]
 
-        return self._jit(("quadp", two_k, xyz_coeffs.shape), run)(
-            self.asarray(xyz_coeffs), self.asarray(r_quad))
+        return self._jit16(("quadp", two_k, xyz_coeffs.shape), run)(
+            xyz_coeffs, r_quad)
 
     # max bytes for any single device buffer in the streaming paths: well
     # under the ~2 GB silent-corruption regime of this TPU backend
@@ -545,7 +565,7 @@ class Backend:
                 [pre, words, xp.zeros((nc, pad_words), np.uint32)], axis=-1)
             return self.hk.blake2s(words, byte_len)  # (nc, 8) LE words
 
-        return self._jit(("leaves", u_canon.shape), run)(self.asarray(u_canon))
+        return self._jit16(("leaves", u_canon.shape), run)(u_canon)
 
     def _tree_levels(self, leaves_le):
         """(n, 8) LE leaf digest words -> tuple of SHA-256 level arrays."""

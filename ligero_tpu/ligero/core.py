@@ -29,7 +29,7 @@ from ..engine.devmatrix import RowChunkedMatrix
 from ..engine.fieldops import FieldKernel
 from ..fields import FieldSpec
 from ..hashes import column_hash
-from ..matrices import SparseMatrix
+from ..matrices import CooMatrix, SparseMatrix
 from ..merkle import MerkleTree, create_merkle_tree
 from ..sampling import (
     get_distinct_indices_excluding,
@@ -47,6 +47,16 @@ from .proof import (
 
 DEFAULT_SECURITY_LEVEL = 128  # reference src/lib.rs:8
 CHACHA_SEED_BYTES = 32        # reference src/lib.rs:9
+
+
+def _resident_budget() -> int:
+    """HBM bytes the prover may pin in device-resident matrices
+    (devmatrix.py); beyond this it spills to host-streamed chunks.
+    Default 8 GB (half of a v5e's 16 GB, leaving room for transients);
+    override with LIGERO_RESIDENT_BUDGET_GB."""
+    import os
+    gb = os.environ.get("LIGERO_RESIDENT_BUDGET_GB")
+    return int(float(gb) * (1 << 30)) if gb else 8 << 30
 
 
 def calculate_t(field: FieldSpec, sec_param: int, distance: tuple[int, int],
@@ -169,8 +179,9 @@ class LigeroCircuit:
         self.index_map = index_map
 
         self.outputs = [self._bump_index(i) for i in outputs]
-        self.a = self._generate_matrices(circuit, self.outputs,
-                                         self.m * self.k, index_map)
+        self._a_fast = self._generate_matrices_coo(circuit, self.outputs,
+                                                   self.m * self.k, index_map)
+        self._a_struct: SparseMatrix | None = None
 
         if (self.n.bit_length() - 1) > field.two_adicity:
             raise ValueError(f"field cannot accommodate FFT of size {self.n}")
@@ -293,6 +304,128 @@ class LigeroCircuit:
         upper = SparseMatrix.identity(field, 3 * num_cols).h_stack(upper_right)
         lower = SparseMatrix.zero(field, num_cols, 3 * num_cols).h_stack(p_add)
         return upper.v_stack(lower)
+
+    @property
+    def a(self) -> SparseMatrix:
+        """The golden-structure constraint matrix (reference mod.rs layout).
+
+        Built lazily: the prover/verifier consume the vectorised COO
+        form (``_a_fast``) instead — identical nonzeros, ~10x faster to
+        assemble at 2^20 gates."""
+        if self._a_struct is None:
+            self._a_struct = self._generate_matrices(
+                self.circuit, self.outputs, self.m * self.k, self.index_map)
+        return self._a_struct
+
+    def _generate_matrices_coo(self, circuit, outputs, num_cols,
+                               index_map) -> CooMatrix:
+        """A = [[I | -(Px;Py;Pz)], [0 | P_add]] assembled directly as COO.
+
+        Same nonzero multiset as :meth:`_generate_matrices` (tested
+        against it); numpy index arithmetic over the node arrays replaces
+        4mk Python row lists — LigeroCircuit build at 2^20 gates drops
+        from ~90 s to a few seconds.
+        """
+        field = self.field
+        p = field.p
+        nodes = circuit.nodes
+        nn = len(nodes)
+        K_OTHER, K_ADD, K_MUL, K_CONST = 0, 1, 2, 3
+        kinds = np.zeros(nn, np.int8)
+        lefts = np.zeros(nn, np.int64)
+        rights = np.zeros(nn, np.int64)
+        for i, nd in enumerate(nodes):
+            k0 = nd[0]
+            if k0 == ADD:
+                kinds[i], lefts[i], rights[i] = K_ADD, nd[1], nd[2]
+            elif k0 == MUL:
+                kinds[i], lefts[i], rights[i] = K_MUL, nd[1], nd[2]
+            elif k0 == CONST:
+                kinds[i] = K_CONST
+        is_row = kinds != K_CONST
+        is_row[0] = True  # node 0 (the constant 1) owns solution column 0
+        im = np.cumsum(is_row, dtype=np.int64) - 1
+        im[~is_row] = 0  # const operands land on the constant-one column
+
+        def operand_cols_vals(ids):
+            """(cols, vals) for one operand side: (1, im[id]) for gate
+            operands, (const_value, 0) for constant operands — the
+            operand_rows semantics of _generate_matrices."""
+            cols = im[ids]
+            vals = [1] * len(ids)
+            for j in np.where(kinds[ids] == K_CONST)[0]:
+                vals[j] = nodes[int(ids[j])][1]
+            return cols, vals
+
+        mi = np.where(kinds == K_MUL)[0]
+        ai = np.where(kinds == K_ADD)[0]
+        x_cols, x_vals = operand_cols_vals(lefts[mi])
+        y_cols, y_vals = operand_cols_vals(rights[mi])
+        l_cols, l_vals = operand_cols_vals(lefts[ai])
+        r_cols, r_vals = operand_cols_vals(rights[ai])
+        x_rows, a_rows = im[mi], im[ai]
+
+        # output rows: one extra constraint per output (== 1 via column 0)
+        base = int(is_row.sum())
+        ox_rows, ox_cols, ox_vals = [], [], []   # Px/Py/Pz output entries
+        oy_cols, oy_vals = [], []
+        oa_rows, oa_cols, oa_vals = [], [], []   # P_add output entries
+        for t, out in enumerate(outputs):
+            nd = nodes[out]
+            lc, lv = operand_cols_vals(np.asarray([nd[1]]))
+            rc, rv = operand_cols_vals(np.asarray([nd[2]]))
+            if nd[0] == MUL:
+                ox_rows.append(base + t)
+                ox_cols.append(int(lc[0])); ox_vals.append(lv[0])
+                oy_cols.append(int(rc[0])); oy_vals.append(rv[0])
+            elif nd[0] == ADD:
+                oa_rows.extend([base + t] * 3)
+                oa_cols.extend([int(lc[0]), int(rc[0]), 0])
+                oa_vals.extend([lv[0], rv[0], (-1) % p])
+            else:
+                raise ValueError("output node must be an Add or Mul gate")
+
+        mk = num_cols
+        p1 = p - 1
+
+        def neg(vals):
+            return [p1 if v == 1 else (p - v) % p for v in vals]
+
+        seg_r, seg_c, seg_v = [], [], []
+
+        def add_seg(rows_, cols_, vals_):
+            seg_r.append(np.asarray(rows_, np.int64))
+            seg_c.append(np.asarray(cols_, np.int64))
+            seg_v.append(vals_)
+
+        # identity block
+        eye = np.arange(3 * mk, dtype=np.int64)
+        add_seg(eye, eye, [1] * (3 * mk))
+        off = 3 * mk
+        # -Px / -Py (mul operand entries + output-mul entries)
+        add_seg(np.concatenate([x_rows, np.asarray(ox_rows, np.int64)]),
+                off + np.concatenate([x_cols, np.asarray(ox_cols, np.int64)]),
+                neg(x_vals) + neg(ox_vals))
+        add_seg(mk + np.concatenate([x_rows, np.asarray(ox_rows, np.int64)]),
+                off + np.concatenate([y_cols, np.asarray(oy_cols, np.int64)]),
+                neg(y_vals) + neg(oy_vals))
+        # -Pz: (1, im[i]) per mul; (1, 0) per output mul — negated
+        add_seg(2 * mk + np.concatenate([x_rows, np.asarray(ox_rows, np.int64)]),
+                off + np.concatenate([im[mi], np.zeros(len(ox_rows), np.int64)]),
+                [p1] * (len(mi) + len(ox_rows)))
+        # P_add (not negated): left + right + (-1, im[i]) per add, + outputs
+        add_seg(3 * mk + np.concatenate([a_rows, a_rows, a_rows,
+                                         np.asarray(oa_rows, np.int64)]),
+                off + np.concatenate([l_cols, r_cols, im[ai],
+                                      np.asarray(oa_cols, np.int64)]),
+                l_vals + r_vals + [p1] * len(ai) + oa_vals)
+
+        rows_idx = np.concatenate(seg_r)
+        cols_idx = np.concatenate(seg_c)
+        vals: list = []
+        for v in seg_v:
+            vals.extend(v)
+        return CooMatrix(field, 4 * mk, 4 * mk, rows_idx, cols_idx, vals)
 
     # ------------------------------------------------------------------
     # prover (reference mod.rs:435-611)
@@ -473,7 +606,10 @@ class LigeroCircuit:
         total = four_m * n * L * 4
         if not be.use_jax or total <= Backend.MAX_DEVICE_BYTES:
             return be.rs_encode_and_canon(preenc, k, n)
-        if getattr(be, "resident_ok", False):
+        # resident U + coeffs must leave HBM headroom for the commit /
+        # product transients; beyond the budget, spill to host streaming
+        resident_fits = total + four_m * k * L * 4 <= _resident_budget()
+        if getattr(be, "resident_ok", False) and resident_fits:
             return be.rs_encode_resident(preenc, k, n)
         chunk = max(8, Backend.MAX_DEVICE_BYTES // (n * L * 4))
         u_coeffs = np.empty((four_m, k, L), np.uint32)
@@ -526,7 +662,8 @@ class LigeroCircuit:
             out = be.ntt_and_canon(rows_coeffs, n)
             return out if be.use_jax else be.to_numpy(out)
         chunk = max(8, Backend.MAX_DEVICE_BYTES // (n * L * 4))
-        resident = getattr(be, "resident_ok", False)
+        resident = (getattr(be, "resident_ok", False)
+                    and rows * n * L * 4 <= _resident_budget())
         chunks = []
         out = None if resident else np.empty((rows, n, L), np.uint32)
         for i in range(0, rows, chunk):
@@ -696,7 +833,7 @@ class LigeroCircuit:
         r_linear = self._expand_field(four_mk, seed)
         if native.available():
             if not hasattr(self, "_a_coo"):
-                rows, cols, vals = self.a.to_coo()
+                rows, cols, vals = self._a_fast.to_coo()
                 vals_u64 = native.ints_to_u64_limbs(vals, self.field.num_u64_limbs)
                 native.to_mont_inplace(self.field, vals_u64)
                 self._a_coo = (rows, cols, vals_u64)
@@ -707,7 +844,7 @@ class LigeroCircuit:
             r_a_limbs = native.u64_to_u16_limbs(out, self.field.num_limbs)
         else:
             r_mont_ints = self.field.limbs_to_ints(r_linear)  # raw = Montgomery
-            r_a = self.a.row_mul(r_mont_ints)                 # Montgomery ints
+            r_a = self._a_fast.row_mul(r_mont_ints)           # Montgomery ints
             r_a_limbs = self.field.ints_to_limbs(r_a)
         return be.intt(r_a_limbs.reshape(4 * self.m, self.k, -1), self.k)
 

@@ -90,6 +90,45 @@ class SparseMatrix:
         return f"SparseMatrix({self.num_rows()}x{self.num_cols}, nnz={sum(map(len, self.rows))})"
 
 
+class CooMatrix:
+    """COO sparse matrix — the prover's fast path for ``r^T · A``.
+
+    Same values as the row-list :class:`SparseMatrix` (which remains the
+    golden structural representation, reference mod.rs:63-143) but
+    assembled directly as index arrays; entry order is unspecified and
+    every consumer reduces with commutative exact mod-p sums.
+    """
+
+    def __init__(self, field, n_rows: int, n_cols: int, rows, cols, vals):
+        import numpy as np
+        self.field = field
+        self.n_rows = n_rows
+        self.num_cols = n_cols
+        self.rows_idx = np.ascontiguousarray(rows, dtype=np.int32)
+        self.cols_idx = np.ascontiguousarray(cols, dtype=np.int32)
+        self.vals = vals  # Python ints (field elements)
+
+    def num_rows(self) -> int:
+        return self.n_rows
+
+    def to_coo(self):
+        return self.rows_idx, self.cols_idx, self.vals
+
+    def row_mul(self, vec: list[int]) -> list[int]:
+        """v^T · M (host fallback; the native C++ kernel consumes
+        :meth:`to_coo` directly)."""
+        p = self.field.p
+        result = [0] * self.num_cols
+        for r, c, v in zip(self.rows_idx, self.cols_idx, self.vals):
+            x = vec[r]
+            if x:
+                result[c] = (result[c] + x * v) % p
+        return result
+
+    def __repr__(self) -> str:
+        return f"CooMatrix({self.n_rows}x{self.num_cols}, nnz={len(self.vals)})"
+
+
 class DenseMatrix:
     def __init__(self, field: FieldSpec, rows: list[list[int]]):
         self.field = field

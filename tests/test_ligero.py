@@ -443,3 +443,36 @@ def test_invalid_rate_rejected():
     for bad in (0, 1, 3, 12):
         with pytest.raises(ValueError):
             LigeroCircuit(c, outs, rate_inv=bad)
+
+
+def test_coo_fast_path_matches_golden_matrix():
+    """The vectorised COO A (_a_fast, the prover's fast path) must carry
+    exactly the nonzero multiset of the golden-structure SparseMatrix
+    (lazy .a property), across gate mixes incl. const operands and both
+    output gate kinds."""
+    from ligero_tpu.synthetic import generate_random_circuit
+
+    def check(lig):
+        rows, cols, vals = lig._a_fast.to_coo()
+        fast = sorted(zip(rows.tolist(), cols.tolist(), vals))
+        g_rows, g_cols, g_vals = lig.a.to_coo()
+        gold = sorted(zip(g_rows.tolist(), g_cols.tolist(), g_vals))
+        assert fast == gold
+
+    F = BN254_FR
+    c, outs, _ = generate_random_circuit(F, 200, num_vars=8, seed=9)
+    check(LigeroCircuit(c, outs))
+
+    # const operands + add output
+    c2 = ArithmeticCircuit(F)
+    x = c2.new_variable_with_label("x")
+    y = c2.mul(x, c2.constant(7))
+    z = c2.add(y, c2.constant(-20))
+    c2.add(z, c2.constant(0))
+    check(LigeroCircuit(c2, [c2.last()]))
+
+    # mul output
+    c3 = ArithmeticCircuit(F)
+    x = c3.new_variable_with_label("x")
+    c3.mul(x, x)
+    check(LigeroCircuit(c3, [c3.last()]))
