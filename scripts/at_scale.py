@@ -113,6 +113,23 @@ def run_scale(log2_gates: int) -> dict:
     if not ok:
         raise SystemExit(f"VERIFY FAILED at 2^{log2_gates}")
 
+    # warm re-run: all in-process jits and remote compiles now cached —
+    # this is the steady-state production number (the first iteration is
+    # dominated by minutes-long remote kernel compiles on this tunnel)
+    phase_timer.reset()
+    t0 = time.time()
+    proof_w = ligero.prove(vars_, sponge.clone())
+    prove_warm_s = time.time() - t0
+    warm_phases = dict(phase_timer.totals)
+    assert proof_w.to_bytes(F) == proof.to_bytes(F), "nondeterministic proof"
+    t0 = time.time()
+    ok_w = ligero.verify(proof_w, sponge.clone())
+    verify_warm_s = time.time() - t0
+    log(f"warm prove: {prove_warm_s:.1f}s, warm verify: {verify_warm_s:.1f}s "
+        f"({ok_w})")
+    for name, secs in sorted(warm_phases.items(), key=lambda kv: -kv[1]):
+        log(f"  warm {name:24s} {secs:8.2f}s")
+
     # tamper negative: perturb the first witness value
     t0 = time.time()
     bad_vars = [(vars_[0][0], (vars_[0][1] + 1) % F.p)] + vars_[1:]
@@ -134,10 +151,14 @@ def run_scale(log2_gates: int) -> dict:
         "build_s": round(compile_s, 1),
         "prove_s": round(prove_s, 2),
         "verify_s": round(verify_s, 2),
-        "proofs_per_s": round(1.0 / prove_s, 5),
-        "rs_elems_per_s": round(rs_elems / prove_s, 0),
+        "prove_warm_s": round(prove_warm_s, 2),
+        "verify_warm_s": round(verify_warm_s, 2),
+        "proofs_per_s": round(1.0 / prove_warm_s, 5),
+        "rs_elems_per_s": round(rs_elems / prove_warm_s, 0),
         "phases_s": {k: round(v, 2) for k, v in phases.items()},
+        "warm_phases_s": {k: round(v, 2) for k, v in warm_phases.items()},
         "verified": ok,
+        "verified_warm": ok_w,
         "tamper_rejected": not bad_ok,
     }
 
