@@ -148,3 +148,18 @@ def test_e2e_zk_streamed(small_budget):
     lig_np = LigeroCircuit(c2, outs2, lambda_=10, zk=True, backend=Backend(F))
     proof_np = lig_np.prove(vars2, sp.clone(), zk_seed=seed)
     assert proof.to_bytes(F) == proof_np.to_bytes(F)
+
+
+def test_rcm_row_block_crossing_chunks(small_budget):
+    """Row blocks that straddle chunk boundaries (the quadratic prover's
+    x/y/z regions rarely align with the encode chunking) must assemble
+    bit-exactly, including the zero padding."""
+    be = Backend(F, use_jax=True)
+    preenc = _rand_mont((20, 8), seed=31)
+    coeffs, canon = be.rs_encode_resident(preenc, 8, 64)
+    ref = np.concatenate([np.asarray(c) for c in coeffs.chunks])[:20]
+    for r0, r1, pad_to in [(5, 13, 8), (0, 20, 20), (7, 9, 4), (15, 20, 8)]:
+        blk = np.asarray(be._rcm_row_block(coeffs, r0, r1, pad_to))
+        expect = np.zeros((pad_to, 8, L), np.uint32)
+        expect[:r1 - r0] = ref[r0:r1]
+        assert np.array_equal(blk, expect), (r0, r1)
