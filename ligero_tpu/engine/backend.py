@@ -130,6 +130,14 @@ class Backend:
 
     _mxu_ntt_enabled = __import__("os").environ.get("LIGERO_MXU_NTT") == "1"
 
+    # largest transform the full-VMEM Pallas NTT kernel supports on v5e
+    # (n=32768 would need ~130 MB of VMEM > the 128 MB core); larger
+    # transforms fall back to the XLA domain path
+    PALLAS_NTT_MAX_N = 16384
+
+    def _pallas_ok(self, n: int) -> bool:
+        return self.use_pallas_ntt and n <= self.PALLAS_NTT_MAX_N
+
     def _fft_padded(self, coeffs, n: int):
         """fft with zero-extension, routed to Pallas on accelerators."""
         if self._use_mxu(n):
@@ -141,7 +149,7 @@ class Backend:
                                np.uint32)
                 coeffs = xp.concatenate([coeffs, pad], axis=-2)
             return mxu_ntt_pallas(self.field, coeffs, n)
-        if self.use_pallas_ntt:
+        if self._pallas_ok(n):
             from .pallas_ntt import ntt_pallas
             xp = self.xp
             k = coeffs.shape[-2]
@@ -156,7 +164,7 @@ class Backend:
         if self._use_mxu(n):
             from .mxu_ntt import mxu_ntt_pallas
             return mxu_ntt_pallas(self.field, evals, n, inverse=True)
-        if self.use_pallas_ntt:
+        if self._pallas_ok(n):
             from .pallas_ntt import ntt_pallas
             return ntt_pallas(self.field, evals, n, inverse=True)
         return self.domain(n).ifft(evals)
@@ -266,7 +274,7 @@ class Backend:
 
         def run(x):
             coeffs = self._ifft(x, k)
-            if self.use_pallas_ntt:
+            if self._pallas_ok(n):
                 # fused epilogue: the n-point NTT emits canonical limbs
                 # directly (REDC-by-one inside the kernel), skipping the
                 # whole separate from-mont pass over the n-wide matrix
@@ -290,7 +298,7 @@ class Backend:
         :meth:`rs_encode_and_canon` is skipped."""
 
         def run(x):
-            if self.use_pallas_ntt:
+            if self._pallas_ok(n):
                 from .pallas_ntt import ntt_pallas
                 xp = self.xp
                 w = x.shape[-2]

@@ -220,7 +220,11 @@ def _ntt_kernel_factory(field_name: str, n: int, inverse: bool, row_tile: int,
             out_specs=pl.BlockSpec((L, row_tile, n), lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 1024 * 1024),
+                # n=16384 needs ~88 MB per block (tw table + 2L REDC
+                # accumulator + double-buffered io); v5e has 128 MB VMEM.
+                # Smaller n keep the original 64 MB so their compiled-HLO
+                # server cache entries stay valid.
+                vmem_limit_bytes=(100 if n > 8192 else 64) * 1024 * 1024),
             interpret=interpret,
         )(x_lbn, tw)
 
