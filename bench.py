@@ -42,6 +42,9 @@ SCALES = {
 
 def run_bench(four_m: int, k: int, iters: int = 3):
     import jax
+
+    from ligero_tpu.utils import jaxcache
+    jaxcache.enable()
     import jax.numpy as jnp
 
     from ligero_tpu.fields import BN254_FR
@@ -120,8 +123,9 @@ def _attach_recorded(result: dict) -> None:
     so the one-line JSON carries proofs/s + per-phase breakdowns."""
     here = os.path.dirname(os.path.abspath(__file__))
     for key, names in (("fixtures", ("bench_configs.json",)),
-                       ("at_scale", ("atscale_r2c.json", "atscale_r2b.json",
-                                     "atscale_r2.json", "atscale_17_smoke.json"))):
+                       ("at_scale", ("atscale_r2d.json", "atscale_r2c.json",
+                                     "atscale_r2b.json", "atscale_r2.json",
+                                     "atscale_17_smoke.json"))):
         for name in names:
             path = os.path.join(here, name)
             if os.path.exists(path):

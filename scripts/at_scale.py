@@ -37,6 +37,9 @@ def corruption_canary() -> dict:
     """Device mont_mul at 2900x1024 (the round-1 silent-corruption shape)
     bit-compared against the host golden on 32 sampled rows."""
     import jax
+
+    from ligero_tpu.utils import jaxcache
+    jaxcache.enable()
     import jax.numpy as jnp
 
     from ligero_tpu.engine.fieldops import FieldKernel
@@ -171,6 +174,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from ligero_tpu.utils import jaxcache
+    jaxcache.enable()
     platform = jax.devices()[0].platform
     log(f"platform: {platform} ({jax.devices()})")
 

@@ -106,6 +106,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from ligero_tpu.utils import jaxcache
+    jaxcache.enable()
     platform = jax.devices()[0].platform
     use_jax = not args.cpu
 

@@ -34,6 +34,9 @@ def log(msg):
 def bench_kernel(name, fn, field, batch, n, iters=3):
     import jax
 
+    from ligero_tpu.utils import jaxcache
+    jaxcache.enable()
+
     rng = np.random.default_rng(hash(name) % 2**31)
     L = field.num_limbs
 
