@@ -38,26 +38,29 @@ def chacha_blocks(key_words: np.ndarray, counter0: int, num_blocks: int,
     Returns ``(num_blocks, 16)`` uint32 words (the serialised keystream read
     as little-endian u32s).
     """
+    # word-major (16, num_blocks) working layout: every quarter-round op
+    # then touches a contiguous row instead of a stride-64B column slice
+    # (~8x faster at the protocol's multi-million-word draws)
     counters = np.arange(counter0, counter0 + num_blocks, dtype=np.uint64)
-    state = np.zeros((num_blocks, 16), dtype=np.uint32)
-    state[:, 0:4] = _CONSTANTS
-    state[:, 4:12] = key_words
-    state[:, 12] = (counters & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    state[:, 13] = (counters >> np.uint64(32)).astype(np.uint32)
-    state[:, 14] = np.uint32(stream & 0xFFFFFFFF)
-    state[:, 15] = np.uint32((stream >> 32) & 0xFFFFFFFF)
+    state = np.zeros((16, num_blocks), dtype=np.uint32)
+    state[0:4] = _CONSTANTS[:, None]
+    state[4:12] = np.asarray(key_words, dtype=np.uint32)[:, None]
+    state[12] = (counters & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    state[13] = (counters >> np.uint64(32)).astype(np.uint32)
+    state[14] = np.uint32(stream & 0xFFFFFFFF)
+    state[15] = np.uint32((stream >> 32) & 0xFFFFFFFF)
 
     x = state.copy()
 
     def quarter(a, b, c, d):
-        x[:, a] += x[:, b]
-        x[:, d] = _rotl(x[:, d] ^ x[:, a], 16)
-        x[:, c] += x[:, d]
-        x[:, b] = _rotl(x[:, b] ^ x[:, c], 12)
-        x[:, a] += x[:, b]
-        x[:, d] = _rotl(x[:, d] ^ x[:, a], 8)
-        x[:, c] += x[:, d]
-        x[:, b] = _rotl(x[:, b] ^ x[:, c], 7)
+        x[a] += x[b]
+        x[d] = _rotl(x[d] ^ x[a], 16)
+        x[c] += x[d]
+        x[b] = _rotl(x[b] ^ x[c], 12)
+        x[a] += x[b]
+        x[d] = _rotl(x[d] ^ x[a], 8)
+        x[c] += x[d]
+        x[b] = _rotl(x[b] ^ x[c], 7)
 
     for _ in range(rounds // 2):
         # column round
@@ -71,7 +74,7 @@ def chacha_blocks(key_words: np.ndarray, counter0: int, num_blocks: int,
         quarter(2, 7, 8, 13)
         quarter(3, 4, 9, 14)
 
-    return x + state
+    return np.ascontiguousarray((x + state).T)
 
 
 def key_words_from_seed(seed: bytes) -> np.ndarray:
@@ -93,8 +96,10 @@ def u64_stream(seed: bytes, num_u64: int, rounds: int = 20) -> np.ndarray:
     and ``gen_range::<usize>``): the buffer index then stays even and the
     BlockRng straddle path is never taken.
     """
-    words = word_stream(seed, 2 * num_u64, rounds=rounds).astype(np.uint64)
-    return words[0::2] | (words[1::2] << np.uint64(32))
+    words = word_stream(seed, 2 * num_u64, rounds=rounds)
+    # rand_chacha's next_u64 = lo_word | hi_word << 32 over the LE word
+    # stream — exactly the little-endian u64 view of the contiguous pairs
+    return np.ascontiguousarray(words).view("<u8")
 
 
 class ChaChaRng:

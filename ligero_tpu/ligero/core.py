@@ -930,7 +930,6 @@ class LigeroCircuit:
         be, p = self.backend, self.field.p
         seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)         # FS #2
         r_limbs = self._expand_field(4 * self.m, seed)
-        r = self.field.mont_limbs_to_ints(r_limbs)
         sponge.absorb_field_elems(proof.preenc_u_lc)           # FS #3
         if not self._verify_column_openings(proof.columns, proof.paths,
                                             u_root, sponge):   # FS #4
@@ -940,22 +939,34 @@ class LigeroCircuit:
             # w(omega^j) == <r, U[:4m, j]> + U[mask0, j]
             lc = be.ints_to_mont(proof.preenc_u_lc).reshape(1, self.blind_len, -1)
             w = be.mont_to_ints(be.to_numpy(be.ntt(lc, self.n))[0])
-            four_m = 4 * self.m
-            for path, col in zip(proof.paths, proof.columns):
-                rhs = (sum(ri * ci for ri, ci in zip(r, col[:four_m]))
-                       + col[four_m]) % p
-                if w[path.leaf_index] != rhs:
-                    return False
-            return True
-        # w = RS(preenc_u_lc); spot check w[j] == <r, U[:, j]>
-        lc = be.ints_to_mont(proof.preenc_u_lc).reshape(1, self.k, -1)
-        _, w_evals = be.rs_encode_rows(lc, self.k, self.n)
-        w = be.mont_to_ints(be.to_numpy(w_evals)[0])
-        for path, col in zip(proof.paths, proof.columns):
-            rhs = sum(ri * ci for ri, ci in zip(r, col)) % p
-            if w[path.leaf_index] != rhs:
+        else:
+            # w = RS(preenc_u_lc); spot check w[j] == <r, U[:, j]>
+            lc = be.ints_to_mont(proof.preenc_u_lc).reshape(1, self.k, -1)
+            _, w_evals = be.rs_encode_rows(lc, self.k, self.n)
+            w = be.mont_to_ints(be.to_numpy(w_evals)[0])
+        rhs = self._spot_rows_combination(r_limbs, proof.columns)
+        for path, col, rv in zip(proof.paths, proof.columns, rhs):
+            if self.zk:
+                rv = (rv + col[4 * self.m]) % p
+            if w[path.leaf_index] != rv:
                 return False
         return True
+
+    def _columns_limbs(self, columns, rows: int) -> np.ndarray:
+        """Opened columns (lists of ints) -> (rows, t, L) canonical limbs."""
+        flat = [c for col in columns for c in col[:rows]]
+        arr = self.field.ints_to_limbs(flat)
+        return np.ascontiguousarray(
+            arr.reshape(len(columns), rows, -1).transpose(1, 0, 2))
+
+    def _spot_rows_combination(self, r_mont_limbs, columns) -> list[int]:
+        """<r, U[:4m, j]> for every opened column, vectorised on the host
+        limb kernel (mont x canonical = canonical product; exact mod-p
+        sums) — replaces t x 4m Python big-int products."""
+        fk = self._host_fk()
+        cols = self._columns_limbs(columns, 4 * self.m)        # (4m, t, L)
+        prod = fk.mont_mul(np.asarray(r_mont_limbs)[:, None, :], cols)
+        return self.field.limbs_to_ints(fk.sum_mod(prod, axis=0))
 
     def _verify_linear(self, proof: LinearConstraintsProof, u_root, sponge) -> bool:
         be, p, k = self.backend, self.field.p, self.k
@@ -987,21 +998,24 @@ class LigeroCircuit:
         # n-point encodes, mod.rs:815-819, evaluated lazily per column)
         js = np.asarray([path.leaf_index for path in proof.paths])
         r_evals_cols = be.ntt_columns(r_coeffs, self.n, js)
+        # <r_i(omega^j), U[:, j]> for all t columns at once on the host
+        # limb kernel (mont r-evals x canonical columns = canonical)
+        fk = self._host_fk()
+        cols = self._columns_limbs(proof.columns, 4 * self.m)  # (4m, t, L)
+        prod = fk.mont_mul(r_evals_cols, cols)
+        lhs_ints = self.field.limbs_to_ints(fk.sum_mod(prod, axis=0))
 
-        for pos, (path, col) in enumerate(zip(proof.paths, proof.columns)):
-            j = path.leaf_index
-            col_r = self.field.mont_limbs_to_ints(r_evals_cols[:, pos, :])
-            lhs = sum(ri * ci for ri, ci in zip(col_r, col)) % p
+        for path, col, lhs in zip(proof.paths, proof.columns, lhs_ints):
             if self.zk:
                 lhs = (lhs + col[4 * self.m + 1]) % p
-            if lhs != q_evals[j]:
+            if lhs != q_evals[path.leaf_index]:
                 return False
         return True
 
     def _verify_quadratic(self, proof: QuadraticConstraintsProof, u_root, sponge) -> bool:
         be, p, k, m = self.backend, self.field.p, self.k, self.m
         seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)         # FS #8
-        r_quad = self.field.mont_limbs_to_ints(self._expand_field(m, seed))
+        r_quad_limbs = self._expand_field(m, seed)
 
         d2 = self.d2
         if _poly_degree(proof.polynomial) >= self.quad_bound:
@@ -1018,12 +1032,18 @@ class LigeroCircuit:
                                             u_root, sponge):   # FS #10
             return False
 
-        for path, col in zip(proof.paths, proof.columns):
-            j = path.leaf_index
-            rhs = sum(r_i * (col[i] * col[i + m] - col[i + 2 * m])
-                      for i, r_i in enumerate(r_quad)) % p
+        # sum_i r_i*(x_i*y_i - z_i) per opened column, vectorised on the
+        # host limb kernel (to_mont(x)*y is the exact canonical product)
+        fk = self._host_fk()
+        cols = self._columns_limbs(proof.columns, 3 * m)       # (3m, t, L)
+        term = fk.sub(fk.mont_mul(fk.to_mont(cols[:m]), cols[m:2 * m]),
+                      cols[2 * m:])
+        weighted = fk.mont_mul(np.asarray(r_quad_limbs)[:, None, :], term)
+        rhs_ints = self.field.limbs_to_ints(fk.sum_mod(weighted, axis=0))
+
+        for path, col, rv in zip(proof.paths, proof.columns, rhs_ints):
             if self.zk:
-                rhs = (rhs + col[4 * m + 2]) % p
-            if p0_evals[j] != rhs:
+                rv = (rv + col[4 * m + 2]) % p
+            if p0_evals[path.leaf_index] != rv:
                 return False
         return True

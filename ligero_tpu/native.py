@@ -75,6 +75,9 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_int, u64p, ctypes.c_uint64, u64p,
             u64p, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
             u64p, i64p, i64p, u64p, ctypes.c_int64]
+        lib.lh_chacha_fr_sample.argtypes = [
+            ctypes.c_int, u64p, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64, u64p]
         _lib = lib
     except Exception as e:  # noqa: BLE001
         sys.stderr.write(f"ligero_tpu: native kernels unavailable ({e}); "
@@ -106,19 +109,19 @@ def _ptr(a: np.ndarray, typ):
 
 
 def u64_to_u16_limbs(a: np.ndarray, num_limbs16: int) -> np.ndarray:
-    """(N, NL) uint64 -> (N, L) uint32 16-bit limbs (same integers)."""
+    """(N, NL) uint64 -> (N, L) uint32 16-bit limbs (same integers).
+
+    LSB-first u64 limbs viewed as little-endian u16 are exactly the
+    16-bit limb order — one widening copy, no strided passes."""
     n = a.shape[0]
-    out = np.empty((n, num_limbs16), dtype=np.uint32)
-    for i in range(4):
-        out[:, i::4] = ((a >> np.uint64(16 * i)) & np.uint64(0xFFFF)).astype(np.uint32)
-    return out
+    return (np.ascontiguousarray(a).view("<u2")
+            .reshape(n, num_limbs16).astype(np.uint32))
 
 
 def u16_to_u64_limbs(a: np.ndarray) -> np.ndarray:
-    """(N, L) uint32 16-bit limbs -> (N, L/4) uint64."""
-    a = a.astype(np.uint64)
-    return (a[:, 0::4] | (a[:, 1::4] << np.uint64(16))
-            | (a[:, 2::4] << np.uint64(32)) | (a[:, 3::4] << np.uint64(48)))
+    """(N, L) uint32 16-bit limbs -> (N, L/4) uint64 (inverse view)."""
+    a16 = np.ascontiguousarray(a.astype(np.uint16))
+    return a16.view("<u8").reshape(a.shape[0], a.shape[1] // 4).copy()
 
 
 def ints_to_u64_limbs(values: list[int], nl: int) -> np.ndarray:
@@ -173,6 +176,23 @@ def sparse_row_mul_mont(field: FieldSpec, rows: np.ndarray, cols: np.ndarray,
         rows.shape[0], _ptr(rows, ctypes.c_int32), _ptr(cols, ctypes.c_int32),
         _ptr(vals_mont_u64, ctypes.c_uint64), _ptr(r_mont_u64, ctypes.c_uint64),
         _ptr(out, ctypes.c_uint64))
+    return out
+
+
+def chacha_fr_sample(field: FieldSpec, count: int, seed: bytes) -> np.ndarray:
+    """``count`` accepted ``F::rand`` draws off a fresh ChaCha20(seed)
+    stream, as ``(count, nl)`` raw-u64 limbs (= the Montgomery form; ark
+    semantics).  Bit-identical to the numpy sampler in
+    ``sampling.rand_field_elements_limbs`` — cross-checked in tests."""
+    lib = _load()
+    nl, p, n0inv, r2 = _field_args(field)
+    shave = 64 * nl - field.modulus_bit_size
+    topmask = (0xFFFFFFFFFFFFFFFF >> shave) if shave < 64 else 0
+    key = np.frombuffer(seed, dtype=np.uint32)
+    out = np.empty((count, nl), dtype=np.uint64)
+    lib.lh_chacha_fr_sample(
+        nl, _ptr(p, ctypes.c_uint64), np.uint64(topmask),
+        _ptr(key, ctypes.c_uint32), count, _ptr(out, ctypes.c_uint64))
     return out
 
 

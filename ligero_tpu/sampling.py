@@ -34,12 +34,14 @@ from .fields import FieldSpec
 # ---------------------------------------------------------------------------
 
 def _u64s_to_mont_limb16(u64s: np.ndarray, field: FieldSpec) -> np.ndarray:
-    """(n, N_u64) uint64 -> (n, L) uint32 16-bit limbs (same integer)."""
+    """(n, N_u64) uint64 -> (n, L) uint32 16-bit limbs (same integer).
+
+    The 16-bit little-endian limbs of LSB-first u64 limbs are exactly the
+    contiguous little-endian u16 view of the buffer — one widening copy
+    instead of four strided passes."""
     n = u64s.shape[0]
-    out = np.empty((n, field.num_limbs), dtype=np.uint32)
-    for i in range(4):
-        out[:, i::4] = ((u64s >> np.uint64(16 * i)) & np.uint64(0xFFFF)).astype(np.uint32)
-    return out
+    u16 = np.ascontiguousarray(u64s).view("<u2").reshape(n, field.num_limbs)
+    return u16.astype(np.uint32)
 
 
 def rand_field_elements_limbs(field: FieldSpec, count: int, seed: bytes) -> np.ndarray:
@@ -49,6 +51,10 @@ def rand_field_elements_limbs(field: FieldSpec, count: int, seed: bytes) -> np.n
     """
     if count == 0:
         return np.zeros((0, field.num_limbs), dtype=np.uint32)
+    from . import native
+    if native.available():
+        return _u64s_to_mont_limb16(
+            native.chacha_fr_sample(field, count, seed), field)
     nl = field.num_u64_limbs
     shave = 64 * nl - field.modulus_bit_size
     mask = np.uint64(0xFFFFFFFFFFFFFFFF >> shave) if shave < 64 else np.uint64(0)
@@ -58,8 +64,12 @@ def rand_field_elements_limbs(field: FieldSpec, count: int, seed: bytes) -> np.n
     accepted_chunks = []
     got = 0
     pos = 0  # u64 stream position
-    # Expected acceptance rate is p / 2^MODULUS_BIT_SIZE (>= 1/2); draw with slack.
-    want_attempts = int(count * 1.4) + 16
+    # Expected acceptance rate is p / 2^MODULUS_BIT_SIZE (>= 1/2 always,
+    # ~0.91 for BN254 Fr); 5% relative slack is a many-hundred-sigma
+    # margin at protocol sizes without wasting keystream, and the retry
+    # loop below covers any shortfall exactly.
+    accept = field.p / float(2 ** field.modulus_bit_size)
+    want_attempts = int(count / accept * 1.05) + 64
     while got < count:
         raw = u64_stream(seed, (pos + want_attempts * nl) * 1)[pos:pos + want_attempts * nl]
         # NOTE: u64_stream recomputes from the start; fine for one or two rounds.
@@ -79,7 +89,7 @@ def rand_field_elements_limbs(field: FieldSpec, count: int, seed: bytes) -> np.n
         accepted_chunks.append(acc)
         got += acc.shape[0]
         pos += want_attempts * nl
-        want_attempts = max(16, int((count - got) * 1.6) + 16)
+        want_attempts = max(64, int((count - got) / accept * 1.3) + 64)
 
     acc = np.concatenate(accepted_chunks, axis=0)[:count]
     return _u64s_to_mont_limb16(acc, field)

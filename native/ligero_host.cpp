@@ -95,6 +95,43 @@ inline void add_mod(const Field& f, const u64* a, const u64* b, u64* out) {
     std::memcpy(out, t, nl * sizeof(u64));
 }
 
+// ---------------------------------------------------------------------
+// ChaCha20 (djb variant, 64-bit counter, stream 0) — the rand_chacha
+// keystream behind ark's F::rand challenge expansion
+// (reference src/utils.rs:23-29).  Consumed as sequential u64 draws, so
+// the 4-block BlockRng refill is equivalent to a flat block stream.
+// ---------------------------------------------------------------------
+
+inline uint32_t rotl32(uint32_t x, int n) { return (x << n) | (x >> (32 - n)); }
+
+inline void chacha20_block(const uint32_t key[8], u64 counter,
+                           uint32_t out[16]) {
+    static const uint32_t C[4] = {0x61707865u, 0x3320646eu,
+                                  0x79622d32u, 0x6b206574u};
+    uint32_t s[16];
+    for (int i = 0; i < 4; ++i) s[i] = C[i];
+    for (int i = 0; i < 8; ++i) s[4 + i] = key[i];
+    s[12] = (uint32_t)counter;
+    s[13] = (uint32_t)(counter >> 32);
+    s[14] = 0;
+    s[15] = 0;
+    uint32_t x[16];
+    std::memcpy(x, s, sizeof(s));
+#define LH_QR(a, b, c, d)                                                \
+    x[a] += x[b]; x[d] = rotl32(x[d] ^ x[a], 16);                        \
+    x[c] += x[d]; x[b] = rotl32(x[b] ^ x[c], 12);                        \
+    x[a] += x[b]; x[d] = rotl32(x[d] ^ x[a], 8);                         \
+    x[c] += x[d]; x[b] = rotl32(x[b] ^ x[c], 7);
+    for (int r = 0; r < 10; ++r) {
+        LH_QR(0, 4, 8, 12) LH_QR(1, 5, 9, 13)
+        LH_QR(2, 6, 10, 14) LH_QR(3, 7, 11, 15)
+        LH_QR(0, 5, 10, 15) LH_QR(1, 6, 11, 12)
+        LH_QR(2, 7, 8, 13) LH_QR(3, 4, 9, 14)
+    }
+#undef LH_QR
+    for (int i = 0; i < 16; ++i) out[i] = x[i] + s[i];
+}
+
 Field make_field(int nl, const u64* p, u64 n0inv, const u64* r2) {
     Field f;
     f.nl = nl;
@@ -264,6 +301,40 @@ void lh_sparse_row_mul(int nl, const u64* p, u64 n0inv, const u64* r2,
         mont_mul(f, r + (int64_t)rows[e] * nl, vals + e * nl, prod);
         u64* dst = out + (int64_t)cols[e] * nl;
         add_mod(f, dst, prod, dst);
+    }
+}
+
+// F::rand rejection sampling straight off the ChaCha20 stream: draw nl
+// u64s (LSB first), mask the top limb to MODULUS_BIT_SIZE, accept iff
+// lexicographically < p.  Accepted raw limbs ARE the Montgomery form
+// (ark semantics; see ligero_tpu/sampling.py).  out: count x nl u64.
+void lh_chacha_fr_sample(int nl, const u64* p, u64 topmask,
+                         const uint32_t* key, int64_t count, u64* out) {
+    uint32_t block[16];
+    u64 counter = 0;
+    int widx = 16;
+    u64 cand[MAX_NL];
+    int64_t got = 0;
+    while (got < count) {
+        for (int i = 0; i < nl; ++i) {
+            if (widx >= 16) {
+                chacha20_block(key, counter++, block);
+                widx = 0;
+            }
+            u64 lo = block[widx], hi = block[widx + 1];
+            widx += 2;
+            cand[i] = lo | (hi << 32);
+        }
+        cand[nl - 1] &= topmask;
+        bool lt = false;
+        for (int i = nl - 1; i >= 0; --i) {
+            if (cand[i] < p[i]) { lt = true; break; }
+            if (cand[i] > p[i]) break;
+        }
+        if (lt) {
+            std::memcpy(out + got * nl, cand, nl * sizeof(u64));
+            ++got;
+        }
     }
 }
 
