@@ -642,6 +642,60 @@ class Backend:
         return leaves, inner
 
     # ------------------------------------------------------------------
+    # device challenge expansion + sparse r^T A (linear phase, FS #5)
+    # ------------------------------------------------------------------
+    def rand_field_mont(self, count: int, seed: bytes):
+        """``F::rand`` challenge expansion on the device.
+
+        Bit-identical to :func:`ligero_tpu.sampling.rand_field_elements_limbs`
+        (same ChaCha20 stream, same rejection order — tested).  Returns a
+        device ``(count, L)`` uint32 limb array, or ``None`` on attempt
+        shortfall (probability hundreds of sigma below mean; the caller
+        falls back to the host sampler, preserving exactness)."""
+        from .devsampler import fr_sample_device
+        key = np.frombuffer(seed, dtype="<u4").astype(np.uint32)
+        fn = self._jit(("fr_sample", count),
+                       lambda kw: fr_sample_device(self.xp, self.field,
+                                                   kw, count))
+        limbs, accepted = fn(self.asarray(key))
+        if int(accepted) < count:
+            return None
+        return limbs
+
+    def sparse_rA_mont(self, rowids, colids, vals_mont, r_mont, num_cols: int):
+        """``out[col] += vals[i] * r[rowids[i]]`` mod p, fully on device.
+
+        All operands Montgomery 16-bit limbs.  The per-column sums
+        accumulate raw u32 limb columns (requires max column multiplicity
+        * 0xFFFF < 2^32 — asserted by the caller), then reduce exactly:
+        value = LO + 2^16*HI with LO/HI normalized 16-limb numbers < R,
+        so  value mod p = mont_mul(LO, R mod p) + mont_mul(HI, 2^16 R mod p)
+        (mont_mul accepts any a < R for b < p; output canonical).
+        Matches native.sparse_row_mul_mont bit-for-bit (tested)."""
+        y0 = self.field.ints_to_limbs([self.field.to_mont(1)])[0]
+        y1 = self.field.ints_to_limbs([self.field.to_mont(1 << 16)])[0]
+
+        def run(vals, rids, cids, r, y0, y1):
+            xp = self.xp
+            prod = self.fk.mont_mul(vals, xp.take(r, rids, axis=0))
+            if self.use_jax:
+                sums = self._jax.ops.segment_sum(
+                    prod, cids, num_segments=num_cols,
+                    indices_are_sorted=True)
+            else:
+                sums = np.zeros((num_cols, prod.shape[-1]), np.uint32)
+                np.add.at(sums, cids, prod)
+            lo, hi = sums & np.uint32(0xFFFF), sums >> np.uint32(16)
+            L = prod.shape[-1]
+            return self.fk.add(
+                self.fk.mont_mul(lo, xp.broadcast_to(y0, (num_cols, L))),
+                self.fk.mont_mul(hi, xp.broadcast_to(y1, (num_cols, L))))
+
+        fn = self._jit(("sparse_rA", int(rowids.shape[0]), num_cols), run)
+        return fn(vals_mont, rowids, colids, r_mont,
+                  self.asarray(y0), self.asarray(y1))
+
+    # ------------------------------------------------------------------
     # host <-> device value conversion helpers
     # ------------------------------------------------------------------
     def ints_to_mont(self, ints: list[int]) -> np.ndarray:

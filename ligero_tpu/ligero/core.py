@@ -36,6 +36,7 @@ from ..sampling import (
     get_distinct_indices_from_prng,
     rand_field_elements,
     rand_field_elements_limbs,
+    rand_field_elements_u64,
 )
 from ..utils.profiling import phase_timer
 from .proof import (
@@ -830,29 +831,71 @@ class LigeroCircuit:
         """
         be = self.backend
         four_mk = 4 * self.m * self.k
-        r_linear = self._expand_field(four_mk, seed)
+        if be.use_jax and self._device_coo(four_mk) is not None:
+            # fully device-resident path: ChaCha20 expansion, gather,
+            # mont products, per-column segment sums — no host work and
+            # no r^T A upload (the host path moves ~100 MB/proof over
+            # the tunneled link at protocol sizes)
+            with phase_timer.phase("linear.expand"):
+                r_dev = be.rand_field_mont(four_mk, seed)
+            if r_dev is not None:
+                rowids, colids, vals_dev = self._device_coo(four_mk)
+                with phase_timer.phase("linear.sparse_rA"):
+                    r_a = be.sparse_rA_mont(rowids, colids, vals_dev,
+                                            r_dev, four_mk)
+                with phase_timer.phase("linear.intt"):
+                    return be.intt(r_a.reshape(4 * self.m, self.k, -1),
+                                   self.k)
         if native.available():
+            # u64-limb path end to end: sampler output feeds the sparse
+            # product directly, no u64->u16->u64 round trip
+            with phase_timer.phase("linear.expand"):
+                r_u64 = rand_field_elements_u64(self.field, four_mk, seed)
             if not hasattr(self, "_a_coo"):
                 rows, cols, vals = self._a_fast.to_coo()
                 vals_u64 = native.ints_to_u64_limbs(vals, self.field.num_u64_limbs)
                 native.to_mont_inplace(self.field, vals_u64)
                 self._a_coo = (rows, cols, vals_u64)
             rows, cols, vals_u64 = self._a_coo
-            r_u64 = native.u16_to_u64_limbs(r_linear)
-            out = native.sparse_row_mul_mont(self.field, rows, cols, vals_u64,
-                                             r_u64, four_mk)
-            r_a_limbs = native.u64_to_u16_limbs(out, self.field.num_limbs)
+            with phase_timer.phase("linear.sparse_rA"):
+                out = native.sparse_row_mul_mont(self.field, rows, cols, vals_u64,
+                                                 r_u64, four_mk)
+            with phase_timer.phase("linear.limbs"):
+                r_a_limbs = native.u64_to_u16_limbs(out, self.field.num_limbs)
         else:
+            r_linear = self._expand_field(four_mk, seed)
             r_mont_ints = self.field.limbs_to_ints(r_linear)  # raw = Montgomery
             r_a = self._a_fast.row_mul(r_mont_ints)           # Montgomery ints
             r_a_limbs = self.field.ints_to_limbs(r_a)
-        return be.intt(r_a_limbs.reshape(4 * self.m, self.k, -1), self.k)
+        with phase_timer.phase("linear.intt"):
+            return be.intt(r_a_limbs.reshape(4 * self.m, self.k, -1), self.k)
+
+    def _device_coo(self, four_mk: int):
+        """A's nonzeros as device arrays sorted by column (one-time upload),
+        or None when the u32 segment-sum accumulator could overflow (max
+        column multiplicity * 0xFFFF must fit u32; ~16 for the synthetic
+        and circom fixtures)."""
+        if not hasattr(self, "_a_coo_dev"):
+            rows, cols, vals = self._a_fast.to_coo()
+            rows, cols = np.asarray(rows, np.int32), np.asarray(cols, np.int32)
+            if np.bincount(cols, minlength=four_mk).max() >= (1 << 16):
+                self._a_coo_dev = None
+            else:
+                order = np.argsort(cols, kind="stable")
+                vals_mont = self.field.ints_to_mont_limbs(
+                    [vals[i] for i in order])
+                be = self.backend
+                self._a_coo_dev = (
+                    be.asarray(rows[order]), be.asarray(cols[order]),
+                    be.asarray(vals_mont.astype(np.uint16)).astype(np.uint32))
+        return self._a_coo_dev
 
     def _prove_linear(self, u_coeffs, u_canon, tree, sponge) -> LinearConstraintsProof:
         be = self.backend
         seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)         # FS #5
         r_coeffs = self._r_a_coeff_rows(seed)
-        q_mont = be.linear_combination_poly(u_coeffs, r_coeffs, 2 * self.k)
+        with phase_timer.phase("linear.polyprod"):
+            q_mont = be.linear_combination_poly(u_coeffs, r_coeffs, 2 * self.k)
         q = _trim(be.canon_limbs_to_ints(be.from_mont(q_mont)))
         sponge.absorb_field_elems(q)                           # FS #6
         columns, paths = self._open_columns(u_canon, tree, sponge)  # FS #7

@@ -121,7 +121,7 @@ def u64_to_u16_limbs(a: np.ndarray, num_limbs16: int) -> np.ndarray:
 def u16_to_u64_limbs(a: np.ndarray) -> np.ndarray:
     """(N, L) uint32 16-bit limbs -> (N, L/4) uint64 (inverse view)."""
     a16 = np.ascontiguousarray(a.astype(np.uint16))
-    return a16.view("<u8").reshape(a.shape[0], a.shape[1] // 4).copy()
+    return a16.view("<u8").reshape(a.shape[0], a.shape[1] // 4)
 
 
 def ints_to_u64_limbs(values: list[int], nl: int) -> np.ndarray:
