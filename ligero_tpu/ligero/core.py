@@ -927,10 +927,13 @@ class LigeroCircuit:
     def _open_columns(self, u_canon, tree, sponge):
         seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)
         indices = self._sample_indices(seed)
-        cols = self.backend.gather_columns(u_canon, indices)
-        columns = [self.field.limbs_to_ints(cols[:, i, :])
-                   for i in range(len(indices))]
-        paths = [tree.generate_proof(j) for j in indices]
+        with phase_timer.phase("open.gather"):
+            cols = self.backend.gather_columns(u_canon, indices)
+        with phase_timer.phase("open.to_ints"):
+            columns = [self.field.limbs_to_ints(cols[:, i, :])
+                       for i in range(len(indices))]
+        with phase_timer.phase("open.paths"):
+            paths = [tree.generate_proof(j) for j in indices]
         return columns, paths
 
     # ------------------------------------------------------------------
@@ -940,9 +943,16 @@ class LigeroCircuit:
         if not self._well_formed(proof):
             return False
         sponge.absorb_bytes(proof.u_root)  # FS #1
-        return (self._verify_interleaved(proof.interleaved, proof.u_root, sponge)
-                and self._verify_linear(proof.linear, proof.u_root, sponge)
-                and self._verify_quadratic(proof.quadratic, proof.u_root, sponge))
+        with phase_timer.phase("v.interleaved"):
+            ok = self._verify_interleaved(proof.interleaved, proof.u_root, sponge)
+        if not ok:
+            return False
+        with phase_timer.phase("v.linear"):
+            ok = self._verify_linear(proof.linear, proof.u_root, sponge)
+        if not ok:
+            return False
+        with phase_timer.phase("v.quadratic"):
+            return self._verify_quadratic(proof.quadratic, proof.u_root, sponge)
 
     def _well_formed(self, proof: LigeroProof) -> bool:
         """Structural validation of an untrusted proof: malformed shapes
@@ -963,10 +973,11 @@ class LigeroCircuit:
         indices = self._sample_indices(seed)
         if len(columns) != len(indices) or len(paths) != len(indices):
             return False
-        for col, idx, path in zip(columns, indices, paths):
-            leaf = column_hash(self.field, col)
-            if path.leaf_index != idx or not path.verify(u_root, leaf):
-                return False
+        with phase_timer.phase("v.col_openings"):
+            for col, idx, path in zip(columns, indices, paths):
+                leaf = column_hash(self.field, col)
+                if path.leaf_index != idx or not path.verify(u_root, leaf):
+                    return False
         return True
 
     def _verify_interleaved(self, proof: InterleavedProof, u_root, sponge) -> bool:
@@ -1040,13 +1051,15 @@ class LigeroCircuit:
         # columns on-device (values identical to the reference's full
         # n-point encodes, mod.rs:815-819, evaluated lazily per column)
         js = np.asarray([path.leaf_index for path in proof.paths])
-        r_evals_cols = be.ntt_columns(r_coeffs, self.n, js)
+        with phase_timer.phase("v.ntt_cols"):
+            r_evals_cols = be.ntt_columns(r_coeffs, self.n, js)
         # <r_i(omega^j), U[:, j]> for all t columns at once on the host
         # limb kernel (mont r-evals x canonical columns = canonical)
-        fk = self._host_fk()
-        cols = self._columns_limbs(proof.columns, 4 * self.m)  # (4m, t, L)
-        prod = fk.mont_mul(r_evals_cols, cols)
-        lhs_ints = self.field.limbs_to_ints(fk.sum_mod(prod, axis=0))
+        with phase_timer.phase("v.spot"):
+            fk = self._host_fk()
+            cols = self._columns_limbs(proof.columns, 4 * self.m)  # (4m, t, L)
+            prod = fk.mont_mul(r_evals_cols, cols)
+            lhs_ints = self.field.limbs_to_ints(fk.sum_mod(prod, axis=0))
 
         for path, col, lhs in zip(proof.paths, proof.columns, lhs_ints):
             if self.zk:

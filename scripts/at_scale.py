@@ -125,12 +125,16 @@ def run_scale(log2_gates: int) -> dict:
     prove_warm_s = time.time() - t0
     warm_phases = dict(phase_timer.totals)
     assert proof_w.to_bytes(F) == proof.to_bytes(F), "nondeterministic proof"
+    phase_timer.reset()
     t0 = time.time()
     ok_w = ligero.verify(proof_w, sponge.clone())
     verify_warm_s = time.time() - t0
+    warm_vphases = dict(phase_timer.totals)
     log(f"warm prove: {prove_warm_s:.1f}s, warm verify: {verify_warm_s:.1f}s "
         f"({ok_w})")
     for name, secs in sorted(warm_phases.items(), key=lambda kv: -kv[1]):
+        log(f"  warm {name:24s} {secs:8.2f}s")
+    for name, secs in sorted(warm_vphases.items(), key=lambda kv: -kv[1]):
         log(f"  warm {name:24s} {secs:8.2f}s")
 
     # tamper negative: perturb the first witness value
@@ -160,6 +164,7 @@ def run_scale(log2_gates: int) -> dict:
         "rs_elems_per_s": round(rs_elems / prove_warm_s, 0),
         "phases_s": {k: round(v, 2) for k, v in phases.items()},
         "warm_phases_s": {k: round(v, 2) for k, v in warm_phases.items()},
+        "warm_verify_phases_s": {k: round(v, 2) for k, v in warm_vphases.items()},
         "verified": ok,
         "verified_warm": ok_w,
         "tamper_rejected": not bad_ok,
