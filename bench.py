@@ -114,6 +114,18 @@ def corruption_canary() -> str:
         raise SystemExit(
             json.dumps({"metric": "CANARY FAILED", "value": 0,
                         "unit": "corrupt", "vs_baseline": 0}))
+
+    # device F::rand vs host sampler (prover+verifier share the device
+    # expansion path, so only a host compare catches a device fault)
+    from ligero_tpu.engine.backend import get_backend
+    from ligero_tpu.sampling import rand_field_elements_limbs
+    seed = bytes(range(32))
+    dev_r = get_backend(field, use_jax=True).rand_field_mont(100_000, seed)
+    if dev_r is None or not np.array_equal(
+            np.asarray(dev_r), rand_field_elements_limbs(field, 100_000, seed)):
+        raise SystemExit(
+            json.dumps({"metric": "CANARY FAILED (device F::rand)", "value": 0,
+                        "unit": "corrupt", "vs_baseline": 0}))
     return "ok"
 
 

@@ -71,10 +71,23 @@ def corruption_canary() -> dict:
         log(f"canary mismatch at (row,col) samples: "
             f"{list(zip(*[x[:5] for x in bad]))}")
         raise SystemExit("CANARY FAILED: on-device mont_mul corruption")
+
+    # device challenge expansion vs the host sampler (the prover AND
+    # verifier share the device path, so a deterministic device fault
+    # would still self-verify — only this host compare catches it)
+    t0 = time.time()
+    from ligero_tpu.engine.backend import get_backend
+    from ligero_tpu.sampling import rand_field_elements_limbs
+    seed = bytes(range(32))
+    dev_r = get_backend(field, use_jax=True).rand_field_mont(100_000, seed)
+    host_r = rand_field_elements_limbs(field, 100_000, seed)
+    if dev_r is None or not np.array_equal(np.asarray(dev_r), host_r):
+        raise SystemExit("CANARY FAILED: device F::rand != host sampler")
+    log(f"canary: device F::rand 100k bit-compare OK ({time.time()-t0:.1f}s)")
     return {"canary": "ok", "canary_s": round(elapsed, 1)}
 
 
-def run_scale(log2_gates: int) -> dict:
+def run_scale(log2_gates: int, zk: bool = False) -> dict:
     from ligero_tpu.engine.backend import get_backend
     from ligero_tpu.fields import BN254_FR
     from ligero_tpu.ligero import LigeroCircuit
@@ -93,16 +106,21 @@ def run_scale(log2_gates: int) -> dict:
     log(f"circuit generated ({gen_s:.1f}s, {c.num_nodes()} nodes)")
 
     t0 = time.time()
-    ligero = LigeroCircuit(c, outputs, backend=get_backend(F, use_jax=True))
+    ligero = LigeroCircuit(c, outputs, backend=get_backend(F, use_jax=True),
+                           zk=zk)
     compile_s = time.time() - t0
     log(f"LigeroCircuit built ({compile_s:.1f}s): m={ligero.m} k={ligero.k} "
         f"n={ligero.n} t={ligero.t} (U is {4*ligero.m}x{ligero.n})")
 
     sponge = test_sponge(F)
+    # zk masks are fresh-random by default; pin them so the warm rerun's
+    # determinism byte-compare below stays meaningful
+    prove = (lambda v, s: ligero.prove(v, s, zk_seed=b"\x5a" * 32)) if zk \
+        else ligero.prove
     phase_timer.enabled = True
     phase_timer.reset()
     t0 = time.time()
-    proof = ligero.prove(vars_, sponge.clone())
+    proof = prove(vars_, sponge.clone())
     prove_s = time.time() - t0
     phases = dict(phase_timer.totals)
     log(f"prove: {prove_s:.1f}s")
@@ -121,7 +139,7 @@ def run_scale(log2_gates: int) -> dict:
     # dominated by minutes-long remote kernel compiles on this tunnel)
     phase_timer.reset()
     t0 = time.time()
-    proof_w = ligero.prove(vars_, sponge.clone())
+    proof_w = prove(vars_, sponge.clone())
     prove_warm_s = time.time() - t0
     warm_phases = dict(phase_timer.totals)
     assert proof_w.to_bytes(F) == proof.to_bytes(F), "nondeterministic proof"
@@ -143,7 +161,7 @@ def run_scale(log2_gates: int) -> dict:
     import warnings
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        bad_proof = ligero.prove(bad_vars, sponge.clone())
+        bad_proof = prove(bad_vars, sponge.clone())
     bad_ok = ligero.verify(bad_proof, sponge.clone())
     log(f"tamper negative: verify={bad_ok} (expect False, "
         f"{time.time()-t0:.1f}s)")
@@ -176,9 +194,16 @@ def main():
     ap.add_argument("--sizes", default="17,19")
     ap.add_argument("--out", default="atscale.json")
     ap.add_argument("--no-canary", action="store_true")
+    ap.add_argument("--zk", action="store_true",
+                    help="zk mode (blinded rows + mask commitments)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU platform (the ambient env pins the "
+                         "tunneled TPU; env vars do not override it)")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from ligero_tpu.utils import jaxcache
     jaxcache.enable()
@@ -189,8 +214,10 @@ def main():
     if not args.no_canary:
         results.update(corruption_canary())
     results["runs"] = []
+    if args.zk:
+        results["zk"] = True
     for size in [int(s) for s in args.sizes.split(",")]:
-        results["runs"].append(run_scale(size))
+        results["runs"].append(run_scale(size, zk=args.zk))
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)
     log(f"wrote {args.out}")
