@@ -1017,10 +1017,28 @@ class LigeroCircuit:
         """<r, U[:4m, j]> for every opened column, vectorised on the host
         limb kernel (mont x canonical = canonical product; exact mod-p
         sums) — replaces t x 4m Python big-int products."""
-        fk = self._host_fk()
         cols = self._columns_limbs(columns, 4 * self.m)        # (4m, t, L)
-        prod = fk.mont_mul(np.asarray(r_mont_limbs)[:, None, :], cols)
+        r = np.asarray(r_mont_limbs)
+        if native.available():
+            return self._mul_sum_native(
+                np.broadcast_to(r[:, None, :], cols.shape), cols)
+        fk = self._host_fk()
+        prod = fk.mont_mul(r[:, None, :], cols)
         return self.field.limbs_to_ints(fk.sum_mod(prod, axis=0))
+
+    def _mul_sum_native(self, a_limbs16, b_limbs16) -> list[int]:
+        """Native spot-check inner products: (rows, t, L) mont x canonical
+        16-bit limb operands -> t canonical ints (sum over rows mod p)."""
+        rows, t, L = b_limbs16.shape
+        a64 = native.u16_to_u64_limbs(
+            np.ascontiguousarray(a_limbs16).reshape(rows * t, L)
+        ).reshape(rows, t, -1)
+        b64 = native.u16_to_u64_limbs(
+            np.ascontiguousarray(b_limbs16).reshape(rows * t, L)
+        ).reshape(rows, t, -1)
+        out = native.mul_sum_rows_mont(self.field, a64, b64)
+        return self.field.limbs_to_ints(
+            native.u64_to_u16_limbs(out, L))
 
     def _verify_linear(self, proof: LinearConstraintsProof, u_root, sponge) -> bool:
         be, p, k = self.backend, self.field.p, self.k
@@ -1056,10 +1074,13 @@ class LigeroCircuit:
         # <r_i(omega^j), U[:, j]> for all t columns at once on the host
         # limb kernel (mont r-evals x canonical columns = canonical)
         with phase_timer.phase("v.spot"):
-            fk = self._host_fk()
             cols = self._columns_limbs(proof.columns, 4 * self.m)  # (4m, t, L)
-            prod = fk.mont_mul(r_evals_cols, cols)
-            lhs_ints = self.field.limbs_to_ints(fk.sum_mod(prod, axis=0))
+            if native.available():
+                lhs_ints = self._mul_sum_native(np.asarray(r_evals_cols), cols)
+            else:
+                fk = self._host_fk()
+                prod = fk.mont_mul(r_evals_cols, cols)
+                lhs_ints = self.field.limbs_to_ints(fk.sum_mod(prod, axis=0))
 
         for path, col, lhs in zip(proof.paths, proof.columns, lhs_ints):
             if self.zk:
@@ -1088,14 +1109,34 @@ class LigeroCircuit:
                                             u_root, sponge):   # FS #10
             return False
 
-        # sum_i r_i*(x_i*y_i - z_i) per opened column, vectorised on the
-        # host limb kernel (to_mont(x)*y is the exact canonical product)
-        fk = self._host_fk()
-        cols = self._columns_limbs(proof.columns, 3 * m)       # (3m, t, L)
-        term = fk.sub(fk.mont_mul(fk.to_mont(cols[:m]), cols[m:2 * m]),
-                      cols[2 * m:])
-        weighted = fk.mont_mul(np.asarray(r_quad_limbs)[:, None, :], term)
-        rhs_ints = self.field.limbs_to_ints(fk.sum_mod(weighted, axis=0))
+        # sum_i r_i*(x_i*y_i - z_i) per opened column (to_mont(x)*y is the
+        # exact canonical product), one native C pass — or the host limb
+        # kernel fallback
+        with phase_timer.phase("v.spot"):
+            cols = self._columns_limbs(proof.columns, 3 * m)   # (3m, t, L)
+            if native.available():
+                t, L = cols.shape[1], cols.shape[2]
+
+                def to64(a):
+                    return native.u16_to_u64_limbs(
+                        np.ascontiguousarray(a).reshape(-1, L)
+                    ).reshape(a.shape[0], t, -1)
+
+                r64 = native.u16_to_u64_limbs(np.asarray(r_quad_limbs))
+                out = native.quad_spot_mont(
+                    self.field, to64(cols[:m]), to64(cols[m:2 * m]),
+                    to64(cols[2 * m:]), r64)
+                rhs_ints = self.field.limbs_to_ints(
+                    native.u64_to_u16_limbs(out, L))
+            else:
+                fk = self._host_fk()
+                term = fk.sub(
+                    fk.mont_mul(fk.to_mont(cols[:m]), cols[m:2 * m]),
+                    cols[2 * m:])
+                weighted = fk.mont_mul(
+                    np.asarray(r_quad_limbs)[:, None, :], term)
+                rhs_ints = self.field.limbs_to_ints(
+                    fk.sum_mod(weighted, axis=0))
 
         for path, col, rv in zip(proof.paths, proof.columns, rhs_ints):
             if self.zk:

@@ -78,6 +78,12 @@ def _load() -> ctypes.CDLL | None:
         lib.lh_chacha_fr_sample.argtypes = [
             ctypes.c_int, u64p, ctypes.c_uint64,
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64, u64p]
+        lib.lh_mul_sum_rows.argtypes = [
+            ctypes.c_int, u64p, ctypes.c_uint64, u64p,
+            ctypes.c_int64, ctypes.c_int64, u64p, u64p, u64p]
+        lib.lh_quad_spot.argtypes = [
+            ctypes.c_int, u64p, ctypes.c_uint64, u64p,
+            ctypes.c_int64, ctypes.c_int64, u64p, u64p, u64p, u64p, u64p]
         _lib = lib
     except Exception as e:  # noqa: BLE001
         sys.stderr.write(f"ligero_tpu: native kernels unavailable ({e}); "
@@ -176,6 +182,42 @@ def sparse_row_mul_mont(field: FieldSpec, rows: np.ndarray, cols: np.ndarray,
         rows.shape[0], _ptr(rows, ctypes.c_int32), _ptr(cols, ctypes.c_int32),
         _ptr(vals_mont_u64, ctypes.c_uint64), _ptr(r_mont_u64, ctypes.c_uint64),
         _ptr(out, ctypes.c_uint64))
+    return out
+
+
+def mul_sum_rows_mont(field: FieldSpec, a_u64: np.ndarray,
+                      b_u64: np.ndarray) -> np.ndarray:
+    """``out[j] = sum_i a[i,j]*b[i,j]*R^-1 mod p`` — the verifier's
+    per-opened-column inner products, one C pass over (rows, cols, nl)
+    u64-limb operands."""
+    lib = _load()
+    nl, p, n0inv, r2 = _field_args(field)
+    rows, cols = a_u64.shape[0], a_u64.shape[1]
+    assert a_u64.shape == b_u64.shape == (rows, cols, nl)
+    out = np.zeros((cols, nl), dtype=np.uint64)
+    lib.lh_mul_sum_rows(nl, _ptr(p, ctypes.c_uint64), n0inv,
+                        _ptr(r2, ctypes.c_uint64), rows, cols,
+                        _ptr(np.ascontiguousarray(a_u64), ctypes.c_uint64),
+                        _ptr(np.ascontiguousarray(b_u64), ctypes.c_uint64),
+                        _ptr(out, ctypes.c_uint64))
+    return out
+
+
+def quad_spot_mont(field: FieldSpec, x_u64, y_u64, z_u64,
+                   r_u64) -> np.ndarray:
+    """``out[j] = sum_i r[i]*(x[i,j]*y[i,j] - z[i,j])`` mod p — the
+    verifier's quadratic per-column test (x,y,z canonical, r Montgomery)."""
+    lib = _load()
+    nl, p, n0inv, r2 = _field_args(field)
+    rows, cols = x_u64.shape[0], x_u64.shape[1]
+    out = np.zeros((cols, nl), dtype=np.uint64)
+    lib.lh_quad_spot(nl, _ptr(p, ctypes.c_uint64), n0inv,
+                     _ptr(r2, ctypes.c_uint64), rows, cols,
+                     _ptr(np.ascontiguousarray(x_u64), ctypes.c_uint64),
+                     _ptr(np.ascontiguousarray(y_u64), ctypes.c_uint64),
+                     _ptr(np.ascontiguousarray(z_u64), ctypes.c_uint64),
+                     _ptr(np.ascontiguousarray(r_u64), ctypes.c_uint64),
+                     _ptr(out, ctypes.c_uint64))
     return out
 
 

@@ -308,6 +308,67 @@ void lh_sparse_row_mul(int nl, const u64* p, u64 n0inv, const u64* r2,
 // u64s (LSB first), mask the top limb to MODULUS_BIT_SIZE, accept iff
 // lexicographically < p.  Accepted raw limbs ARE the Montgomery form
 // (ark semantics; see ligero_tpu/sampling.py).  out: count x nl u64.
+// out[j][.] = sum_i a[i][j] * b[i][j] * R^{-1} mod p  (the verifier's
+// <r_evals, column> spot products over every opened column at once;
+// reference src/ligero/mod.rs:820-828 per-column inner products).
+// a, b: (rows, cols, nl) u64 limbs; out: (cols, nl), zero-initialised
+// by the caller.
+void lh_mul_sum_rows(int nl, const u64* p, u64 n0inv, const u64* r2,
+                     int64_t rows, int64_t cols,
+                     const u64* a, const u64* b, u64* out) {
+    Field f = make_field(nl, p, n0inv, r2);
+    u64 prod[MAX_NL];
+    for (int64_t i = 0; i < rows; ++i) {
+        const u64* ra = a + i * cols * nl;
+        const u64* rb = b + i * cols * nl;
+        for (int64_t j = 0; j < cols; ++j) {
+            mont_mul(f, ra + j * nl, rb + j * nl, prod);
+            add_mod(f, out + j * nl, prod, out + j * nl);
+        }
+    }
+}
+
+// Quadratic spot check: out[j] = sum_i r[i] * (x[i,j]*y[i,j] - z[i,j])
+// with x,y,z canonical columns and r Montgomery weights — i.e.
+// term = mont_mul(mont_mul(x, R2), y) (exact canonical product), minus z
+// mod p, weighted by mont_mul(r, term) and summed mod p (reference
+// src/ligero/mod.rs:901-961 per-column quadratic test).
+// x,y,z: (rows, cols, nl); r: (rows, nl); out: (cols, nl) zeroed.
+void lh_quad_spot(int nl, const u64* p, u64 n0inv, const u64* r2,
+                  int64_t rows, int64_t cols, const u64* x, const u64* y,
+                  const u64* z, const u64* r, u64* out) {
+    Field f = make_field(nl, p, n0inv, r2);
+    u64 xm[MAX_NL], term[MAX_NL], w[MAX_NL];
+    for (int64_t i = 0; i < rows; ++i) {
+        const u64* xi = x + i * cols * nl;
+        const u64* yi = y + i * cols * nl;
+        const u64* zi = z + i * cols * nl;
+        const u64* ri = r + i * nl;
+        for (int64_t j = 0; j < cols; ++j) {
+            mont_mul(f, xi + j * nl, f.r2, xm);      // to_mont(x)
+            mont_mul(f, xm, yi + j * nl, term);      // canonical x*y
+            // term -= z (mod p)
+            u64 borrow = 0;
+            u64 t[MAX_NL];
+            for (int l = 0; l < nl; ++l) {
+                u128 cur = (u128)term[l] - zi[j * nl + l] - borrow;
+                t[l] = (u64)cur;
+                borrow = (cur >> 64) ? 1 : 0;
+            }
+            if (borrow) {  // re-add p
+                u64 carry = 0;
+                for (int l = 0; l < nl; ++l) {
+                    u128 cur = (u128)t[l] + f.p[l] + carry;
+                    t[l] = (u64)cur;
+                    carry = (u64)(cur >> 64);
+                }
+            }
+            mont_mul(f, ri, t, w);
+            add_mod(f, out + j * nl, w, out + j * nl);
+        }
+    }
+}
+
 void lh_chacha_fr_sample(int nl, const u64* p, u64 topmask,
                          const uint32_t* key, int64_t count, u64* out) {
     uint32_t block[16];

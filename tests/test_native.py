@@ -82,3 +82,52 @@ def test_sparse_row_mul_matches_python():
     native.from_mont_inplace(F, out)
     got = [int.from_bytes(out[i].tobytes(), "little") for i in range(num_cols)]
     assert got == expect
+
+
+def test_mul_sum_rows_matches_host_kernel():
+    import numpy as np
+    from ligero_tpu import native
+    from ligero_tpu.engine.fieldops import FieldKernel
+    from ligero_tpu.fields import BN254_FR as F
+    from ligero_tpu.sampling import rand_field_elements_limbs
+    if not native.available():
+        import pytest
+        pytest.skip("native lib not built")
+    rows, t = 37, 11
+    a = rand_field_elements_limbs(F, rows * t, b"\x03" * 32).reshape(rows, t, -1)
+    b = rand_field_elements_limbs(F, rows * t, b"\x04" * 32).reshape(rows, t, -1)
+    fk = FieldKernel(F, np)
+    want = F.limbs_to_ints(fk.sum_mod(fk.mont_mul(a, b), axis=0))
+    a64 = native.u16_to_u64_limbs(a.reshape(rows * t, -1)).reshape(rows, t, -1)
+    b64 = native.u16_to_u64_limbs(b.reshape(rows * t, -1)).reshape(rows, t, -1)
+    got = F.limbs_to_ints(
+        native.u64_to_u16_limbs(native.mul_sum_rows_mont(F, a64, b64), F.num_limbs))
+    assert got == want
+
+
+def test_quad_spot_matches_host_kernel():
+    import numpy as np
+    from ligero_tpu import native
+    from ligero_tpu.engine.fieldops import FieldKernel
+    from ligero_tpu.fields import BN254_FR as F
+    from ligero_tpu.sampling import rand_field_elements_limbs
+    if not native.available():
+        import pytest
+        pytest.skip("native lib not built")
+    rows, t = 23, 9
+    rng = np.random.default_rng(5)
+    xyz = [F.ints_to_limbs([int(v) % F.p for v in rng.integers(0, 1 << 63, rows * t)])
+           .reshape(rows, t, -1) for _ in range(3)]
+    x, y, z = xyz
+    r = rand_field_elements_limbs(F, rows, b"\x06" * 32)
+    fk = FieldKernel(F, np)
+    term = fk.sub(fk.mont_mul(fk.to_mont(x), y), z)
+    want = F.limbs_to_ints(fk.sum_mod(fk.mont_mul(r[:, None, :], term), axis=0))
+
+    def to64(a):
+        return native.u16_to_u64_limbs(a.reshape(rows * t, -1)).reshape(rows, t, -1)
+
+    out = native.quad_spot_mont(F, to64(x), to64(y), to64(z),
+                                native.u16_to_u64_limbs(r))
+    got = F.limbs_to_ints(native.u64_to_u16_limbs(out, F.num_limbs))
+    assert got == want
