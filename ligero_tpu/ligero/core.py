@@ -792,7 +792,8 @@ class LigeroCircuit:
         be = self.backend
         m, k = self.m, self.k
         if native.available():
-            preenc = self._preenc_mont_limbs_native(var_assignment)
+            with phase_timer.phase("wit.native"):
+                preenc = self._preenc_mont_limbs_native(var_assignment)
         else:
             x, y, z, w = self._solution_vectors(var_assignment)
             preenc_ints = x + y + z + w  # 4m rows of k
