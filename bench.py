@@ -135,9 +135,12 @@ def _attach_recorded(result: dict) -> None:
     so the one-line JSON carries proofs/s + per-phase breakdowns."""
     here = os.path.dirname(os.path.abspath(__file__))
     for key, names in (("fixtures", ("bench_configs.json",)),
-                       ("at_scale", ("atscale_r2d.json", "atscale_r2c.json",
-                                     "atscale_r2b.json", "atscale_r2.json",
-                                     "atscale_17_smoke.json"))):
+                       ("at_scale", ("atscale_r2e.json", "atscale_r2d.json",
+                                     "atscale_r2c.json", "atscale_r2b.json",
+                                     "atscale_r2.json",
+                                     "atscale_17_smoke.json")),
+                       ("zk_at_scale", ("atscale_zk.json",)),
+                       ("mxu_ntt", ("mxu_ntt_bench.json",))):
         for name in names:
             path = os.path.join(here, name)
             if os.path.exists(path):
