@@ -332,16 +332,27 @@ class Backend:
                 blk = np.concatenate(
                     [blk, np.zeros((chunk - r, k_, L), np.uint32)])
             c, u = self.rs_encode_and_canon(blk, k, n)
-            coeff_chunks.append(c)
-            canon_chunks.append(u)
+            coeff_chunks.append(self.narrow16(c))
+            canon_chunks.append(self.narrow16(u))
         return (RowChunkedMatrix(coeff_chunks, rows, chunk),
                 RowChunkedMatrix(canon_chunks, rows, chunk))
+
+    def narrow16(self, a):
+        """Device uint32 16-bit-limb array -> uint16 storage (halves the
+        HBM residency of the chunked matrices; every limb is < 2^16 by
+        representation invariant).  Consumers widen at the jit boundary."""
+        return self._jit(("narrow16", a.shape), lambda x: x.astype(np.uint16))(a)
+
+    @staticmethod
+    def _widen(blk):
+        import numpy as _np
+        return blk.astype(_np.uint32) if blk.dtype == _np.uint16 else blk
 
     def _rcm_column_block(self, rcm: RowChunkedMatrix, j0: int, j1: int):
         """All rows x columns [j0, j1) as one device array (rows, j1-j0, L)."""
         xp = self.xp
         blk = xp.concatenate([c[:, j0:j1] for c in rcm.chunks], axis=0)
-        return blk[:rcm.rows]
+        return self._widen(blk[:rcm.rows])
 
     def _rcm_row_block(self, rcm: RowChunkedMatrix, r0: int, r1: int,
                        pad_to: int):
@@ -357,8 +368,9 @@ class Backend:
             i += take
         if r1 - r0 < pad_to:
             parts.append(xp.zeros((pad_to - (r1 - r0), rcm.n, rcm.L),
-                                  np.uint32))
-        return parts[0] if len(parts) == 1 else xp.concatenate(parts, axis=0)
+                                  parts[0].dtype if parts else np.uint32))
+        blk = parts[0] if len(parts) == 1 else xp.concatenate(parts, axis=0)
+        return self._widen(blk)
 
     def gather_columns(self, u_canon, js) -> np.ndarray:
         """Columns ``js`` of a (rows, n, L) matrix -> (rows, len(js), L)
@@ -426,7 +438,7 @@ class Backend:
             if pad:
                 r_dev = xp.concatenate(
                     [r_dev, xp.zeros((pad, k_, L), np.uint32)], axis=0)
-            parts = [self._jit(("linq_part", two_k, uc.shape), partial)(
+            parts = [self._jit16(("linq_part", two_k, uc.shape), partial)(
                 uc, r_dev[ci * cr:(ci + 1) * cr])
                 for ci, uc in enumerate(u_coeffs.chunks)]
             total = self._jit(("linq_sum", two_k, len(parts)),

@@ -608,8 +608,9 @@ class LigeroCircuit:
         if not be.use_jax or total <= Backend.MAX_DEVICE_BYTES:
             return be.rs_encode_and_canon(preenc, k, n)
         # resident U + coeffs must leave HBM headroom for the commit /
-        # product transients; beyond the budget, spill to host streaming
-        resident_fits = total + four_m * k * L * 4 <= _resident_budget()
+        # product transients; beyond the budget, spill to host streaming.
+        # Chunks are stored as uint16 (Backend.narrow16) — 2 bytes/limb.
+        resident_fits = (total + four_m * k * L * 4) // 2 <= _resident_budget()
         if getattr(be, "resident_ok", False) and resident_fits:
             return be.rs_encode_resident(preenc, k, n)
         chunk = max(8, Backend.MAX_DEVICE_BYTES // (n * L * 4))
@@ -675,7 +676,7 @@ class LigeroCircuit:
                     [blk, np.zeros((chunk - r, w, L), np.uint32)])
             enc = be.ntt_and_canon(blk, n)
             if resident:
-                chunks.append(enc)
+                chunks.append(be.narrow16(enc))
             else:
                 out[i:i + r] = be.to_numpy(enc)[:r]
         if resident:

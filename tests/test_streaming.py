@@ -121,6 +121,7 @@ def test_rs_encode_resident_matches_host(small_budget):
     c_ref, u_ref = be_np.rs_encode_and_canon(preenc, 8, 64)
     assert canon.shape == (24, 64, L) and coeffs.shape == (24, 8, L)
     got = np.concatenate([np.asarray(ch) for ch in canon.chunks])[:24]
+    assert canon.chunks[0].dtype == np.uint16  # u16 residency (halved HBM)
     assert np.array_equal(got, np.asarray(u_ref))
     js = [0, 5, 33, 63]
     cols = be.gather_columns(canon, js)
