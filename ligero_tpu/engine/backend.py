@@ -206,7 +206,9 @@ class Backend:
         # fresh (minutes-long remote) TPU compile per verification
         def run(x, j):
             ev = self._fft_padded(x, n)
-            return self.xp.take(ev, j, axis=1)
+            # u16 download: limbs < 2^16, and the tunneled device->host
+            # link is the bottleneck (halves the (B, t, L) transfer)
+            return self.xp.take(ev, j, axis=1).astype(np.uint16)
 
         if self.use_jax and B * n * L * 4 > self.MAX_DEVICE_BYTES:
             chunk = max(8, self.MAX_DEVICE_BYTES // (n * L * 4))
@@ -227,7 +229,7 @@ class Backend:
             return out
         return self.to_numpy(
             self._jit(("fft_cols", n, coeffs.shape, len(js)), run)(
-                self.asarray(coeffs), jdev))
+                self.asarray(coeffs), jdev)).astype(np.uint32)
 
     def intt(self, evals, n: int):
         return self._jit16(("ifft", n, evals.shape),
