@@ -326,13 +326,15 @@ class Backend:
         """
         rows, k_, L = preenc.shape
         chunk = max(8, self.MAX_DEVICE_BYTES // (n * L * 4))
+        on_device = not isinstance(preenc, np.ndarray)
+        xp0 = self.xp if on_device else np
         coeff_chunks, canon_chunks = [], []
         for i in range(0, rows, chunk):
-            blk = np.asarray(preenc[i:i + chunk])
+            blk = preenc[i:i + chunk]  # device slice stays on device
             r = blk.shape[0]
             if r < chunk:
-                blk = np.concatenate(
-                    [blk, np.zeros((chunk - r, k_, L), np.uint32)])
+                blk = xp0.concatenate(
+                    [blk, xp0.zeros((chunk - r, k_, L), blk.dtype)])
             c, u = self.rs_encode_and_canon(blk, k, n)
             coeff_chunks.append(self.narrow16(c))
             canon_chunks.append(self.narrow16(u))

@@ -561,6 +561,7 @@ class LigeroCircuit:
         be = self.backend
         m, k, n = self.m, self.k, self.n
 
+        self._preenc_dev = None  # only valid if set by THIS proof's encode
         with phase_timer.phase("witness+preenc"):
             preenc = self._build_preenc(var_assignment)
 
@@ -612,7 +613,12 @@ class LigeroCircuit:
         # Chunks are stored as uint16 (Backend.narrow16) — 2 bytes/limb.
         resident_fits = (total + four_m * k * L * 4) // 2 <= _resident_budget()
         if getattr(be, "resident_ok", False) and resident_fits:
-            return be.rs_encode_resident(preenc, k, n)
+            # single u16 upload of preenc, reused by the interleaved-phase
+            # row combination (saves a second ~50-135 MB tunnel transfer)
+            with phase_timer.phase("wit.upload"):
+                preenc_dev = be.asarray(preenc.astype(np.uint16))
+            self._preenc_dev = preenc_dev
+            return be.rs_encode_resident(preenc_dev, k, n)
         chunk = max(8, Backend.MAX_DEVICE_BYTES // (n * L * 4))
         u_coeffs = np.empty((four_m, k, L), np.uint32)
         u_canon = np.empty((four_m, n, L), np.uint32)
@@ -820,7 +826,12 @@ class LigeroCircuit:
         be = self.backend
         seed_r = sponge.squeeze_bytes(CHACHA_SEED_BYTES)       # FS #2
         r = self._expand_field(4 * self.m, seed_r)
-        preenc_u_lc = be.mont_to_ints(be.row_combine(r, preenc))
+        # reuse the device-resident preenc upload when one exists (set by
+        # _rs_encode_streamed's resident branch for this proof)
+        preenc_src = getattr(self, "_preenc_dev", None)
+        if preenc_src is None or preenc_src.shape != preenc.shape:
+            preenc_src = preenc
+        preenc_u_lc = be.mont_to_ints(be.row_combine(r, preenc_src))
         sponge.absorb_field_elems(preenc_u_lc)                 # FS #3
         columns, paths = self._open_columns(u_canon, tree, sponge)  # FS #4
         return InterleavedProof(preenc_u_lc, columns, paths)

@@ -164,3 +164,32 @@ def test_rcm_row_block_crossing_chunks(small_budget):
         expect = np.zeros((pad_to, 8, L), np.uint32)
         expect[:r1 - r0] = ref[r0:r1]
         assert np.array_equal(blk, expect), (r0, r1)
+
+
+def test_reprove_different_witness_resident(small_budget):
+    """Re-proving with a different witness on the same circuit must not
+    reuse the previous proof's device-resident preenc upload (regression:
+    the interleaved lc would silently combine stale witness rows)."""
+    import warnings
+
+    from ligero_tpu.circuit import ArithmeticCircuit
+    from ligero_tpu.ligero import LigeroCircuit
+    from ligero_tpu.sponge import test_sponge
+
+    c = ArithmeticCircuit(F)
+    x = c.new_variable_with_label("x")
+    acc = x
+    for _ in range(6):
+        acc = c.mul(acc, x)
+    c.add(acc, c.constant(-(3 ** 7) + 1))
+    lig = LigeroCircuit(c, [c.last()], backend=Backend(F, use_jax=True))
+    sp = test_sponge(F)
+    good = lig.prove_with_labels([("x", 3)], sp.clone())
+    assert lig.verify(good, sp.clone())
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        bad = lig.prove_with_labels([("x", 4)], sp.clone())
+    assert not lig.verify(bad, sp.clone())
+    good2 = lig.prove_with_labels([("x", 3)], sp.clone())
+    assert good2.to_bytes(F) == good.to_bytes(F)
+    assert lig.verify(good2, sp.clone())
