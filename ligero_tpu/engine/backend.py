@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..fields import FieldSpec
-from .devmatrix import RowChunkedMatrix
+from .devmatrix import RowChunkedMatrix, StreamedCodewords
 from .fieldops import FieldKernel
 from .hashops import HashKernel, be_words_to_bytes, words_to_le_bytes
 from .ntt import DomainOps
@@ -198,6 +198,17 @@ class Backend:
         host transfer.
         """
         js = np.ascontiguousarray(np.asarray(js, dtype=np.int32))
+        if isinstance(coeffs, RowChunkedMatrix):
+            jdev = self.asarray(js)
+
+            def run_rcm(x, j):
+                ev = self._fft_padded(x, n)
+                return self.xp.take(ev, j, axis=1).astype(np.uint16)
+
+            parts = [self.to_numpy(self._jit16(
+                ("fft_cols_rcm", n, c.shape, len(js)), run_rcm)(c, jdev))
+                for c in coeffs.chunks]
+            return np.concatenate(parts, axis=0)[:coeffs.rows].astype(np.uint32)
         B, _, L = coeffs.shape
         jdev = self.asarray(js)
 
@@ -341,6 +352,107 @@ class Backend:
         return (RowChunkedMatrix(coeff_chunks, rows, chunk),
                 RowChunkedMatrix(canon_chunks, rows, chunk))
 
+    def intt_resident(self, preenc: np.ndarray, k: int) -> RowChunkedMatrix:
+        """iNTT_k of all rows into a device-resident chunked coefficient
+        matrix, uploading the (host) message matrix in u16 chunks.
+
+        The entry point of the streaming-commit path: only the 8x-smaller
+        coefficient form ever lives in HBM; codeword chunks are re-derived
+        on demand (see :class:`StreamedCodewords`)."""
+        rows, k_, L = preenc.shape
+        # chunk sized by the CODEWORD width n = rate_inv * k the consumers
+        # re-expand to — keep it aligned with _stream_chunk_rows
+        chunks = []
+        chunk = self._stream_chunk_rows(self.field, k)
+        for i in range(0, rows, chunk):
+            blk = np.ascontiguousarray(preenc[i:i + chunk])
+            r = blk.shape[0]
+            if r < chunk:
+                blk = np.concatenate(
+                    [blk, np.zeros((chunk - r, k_, L), blk.dtype)])
+            chunks.append(self.narrow16(self.intt(blk, k)))
+        return RowChunkedMatrix(chunks, rows, chunk)
+
+    def _stream_chunk_rows(self, field, k: int) -> int:
+        """Row-chunk size for the streaming paths: the re-expanded
+        (chunk, n, L) codeword block must stay under the single-buffer
+        budget for the largest n any consumer uses (rate_inv * k; assume
+        <= 16k here and clamp).  Forced even so each chunk contributes a
+        whole number of 64-byte blocks per column to the streaming hash."""
+        n_max = 16 * k
+        chunk = max(8, self.MAX_DEVICE_BYTES // (n_max * field.num_limbs * 4))
+        return chunk & ~1
+
+    def commit_columns_streaming(self, sc: StreamedCodewords):
+        """Column commitment without materializing U: re-encode each
+        coefficient chunk to canonical codewords on-device and absorb its
+        bytes into per-column incremental Blake2s states.
+
+        Bit-identical to :meth:`commit_columns` on the materialized matrix
+        (same serialization: u64-LE element-count prefix + 32-byte LE
+        canonical elements down each column; tested).  Peak HBM: one
+        (chunk, n, L) codeword block + (n, 8) states."""
+        xp = self.xp
+        rows, n, L = sc.shape
+        rcm = sc.coeffs
+        k = rcm.n
+        words_per_row = L // 2  # 32 canonical LE bytes per element
+        prefix = np.zeros(2, dtype=np.uint32)
+        prefix[0] = rows & 0xFFFFFFFF
+        prefix[1] = rows >> 32
+
+        def make_step(r_c: int, first: bool):
+            def step(coeff_blk, h_, carry_, t0_):
+                blk = self._widen(coeff_blk)
+                if self._pallas_ok(n):
+                    from .pallas_ntt import ntt_pallas
+                    padded = xp.concatenate(
+                        [blk, xp.zeros(blk.shape[:-2] + (n - k, L), np.uint32)],
+                        axis=-2)
+                    canon = ntt_pallas(self.field, padded, n,
+                                       from_mont_out=True)
+                else:
+                    canon = self._from_mont_chunked(self._fft_padded(blk, n))
+                cols = xp.moveaxis(canon[:r_c], 1, 0)           # (n, r_c, L)
+                packed = cols[..., 0::2] | (cols[..., 1::2] << np.uint32(16))
+                words = packed.reshape(n, r_c * words_per_row)
+                head = (xp.broadcast_to(xp.asarray(prefix), (n, 2)) if first
+                        else carry_)
+                words = xp.concatenate([head, words], axis=-1)
+                nb = words.shape[1] // 16  # carry-out is 2 or 10 words: != 0
+                blocks = xp.moveaxis(
+                    words[:, :16 * nb].reshape(n, nb, 16), 1, 0)
+                h1 = self.hk.blake2s_stream_blocks(h_, blocks, t0_)
+                return h1, words[:, 16 * nb:]
+            return step
+
+        h = self.hk.blake2s_stream_start(n)
+        carry = xp.zeros((n, 2), np.uint32)  # ignored by the first step
+        cw, t0, done = 2, 0, 0
+        for ci, chunk in enumerate(rcm.chunks):
+            r_c = min(rcm.chunk_rows, rows - done)
+            done += r_c
+            fn = self._jit(("stream_commit", ci == 0, chunk.shape, r_c, cw, n),
+                           make_step(r_c, ci == 0))
+            h, carry = fn(chunk, h, carry, np.uint32(t0))
+            total_w = cw + r_c * words_per_row
+            nb = total_w // 16
+            t0 += 64 * nb
+            cw = total_w - 16 * nb  # stays in {2, 10}: never a full block
+
+        byte_len = 8 + rows * L * 2
+        leaves_le = self.to_numpy(self._jit(
+            ("stream_final", n, cw, byte_len),
+            lambda h_, ca: self.hk.blake2s_stream_end(
+                h_, xp.concatenate(
+                    [ca, xp.zeros((n, 16 - cw), np.uint32)], axis=-1),
+                byte_len))(h, carry))
+        levels = self._tree_levels(leaves_le)
+        leaves = [words_to_le_bytes(row) for row in leaves_le]
+        inner = [[be_words_to_bytes(row) for row in self.to_numpy(level)]
+                 for level in levels]
+        return leaves, inner
+
     def narrow16(self, a):
         """Device uint32 16-bit-limb array -> uint16 storage (halves the
         HBM residency of the chunked matrices; every limb is < 2^16 by
@@ -382,6 +494,30 @@ class Backend:
         the tunnel's device->host path is the bottleneck) when the matrix
         is device-resident."""
         js = np.asarray(js, dtype=np.int64)
+        if isinstance(u_canon, StreamedCodewords):
+            # re-encode each coefficient chunk and keep only the opened
+            # columns: one (chunk, n, L) codeword transient at a time
+            xp = self.xp
+            n, k, L = u_canon.n, u_canon.coeffs.n, u_canon.L
+            jdev = self.asarray(js.astype(np.int32))
+
+            def take_cols(coeff_blk, j):
+                blk = self._widen(coeff_blk)
+                if self._pallas_ok(n):
+                    from .pallas_ntt import ntt_pallas
+                    padded = xp.concatenate(
+                        [blk, xp.zeros(blk.shape[:-2] + (n - k, L), np.uint32)],
+                        axis=-2)
+                    canon = ntt_pallas(self.field, padded, n,
+                                       from_mont_out=True)
+                else:
+                    canon = self._from_mont_chunked(self._fft_padded(blk, n))
+                return xp.take(canon, j, axis=1).astype(np.uint16)
+
+            parts = [np.asarray(self._jit(
+                ("stream_take", c.shape, n, len(js)), take_cols)(c, jdev))
+                for c in u_canon.coeffs.chunks]
+            return np.concatenate(parts, axis=0)[:u_canon.rows].astype(np.uint32)
         if isinstance(u_canon, RowChunkedMatrix):
             xp = self.xp
             jdev = self.asarray(js.astype(np.int32))
@@ -412,6 +548,34 @@ class Backend:
 
         return self._jit16(("rowcomb", r.shape, mat.shape), run)(r, mat)
 
+    def row_combine_coeffs(self, r, coeffs: RowChunkedMatrix):
+        """Interleaved combination from the coefficient form: returns the
+        message-space ``r^T . preenc`` (k, L) Montgomery limbs.
+
+        ``sum_i r_i . row_i = NTT_k(sum_i r_i . coeffs_i)`` by linearity of
+        the iNTT, so the streaming prover never needs the message matrix
+        after encoding — bit-identical field elements to
+        :meth:`row_combine` on the original rows (tested)."""
+        xp = self.xp
+        rows, k, L = coeffs.shape
+        cr = coeffs.chunk_rows
+        r_np = np.asarray(r)
+        pad = len(coeffs.chunks) * cr - rows
+        if pad:
+            r_np = np.concatenate([r_np, np.zeros((pad, L), r_np.dtype)])
+
+        def partial(m_, r_):
+            prod = self.fk.mont_mul(r_[:, None, :], m_)
+            return self.fk.sum_mod(prod, axis=0)
+
+        parts = [self._jit16(("rcc_part", c.shape), partial)(
+            c, np.ascontiguousarray(r_np[ci * cr:(ci + 1) * cr]))
+            for ci, c in enumerate(coeffs.chunks)]
+        total = self._jit(("rcc_sum", k, len(parts)),
+                          lambda ps: self.fk.sum_mod(xp.stack(ps), axis=0))(parts)
+        return self._jit(("rcc_ntt", k),
+                         lambda t: self._fft_padded(t[None], k)[0])(total)
+
     def linear_combination_poly(self, u_coeffs, r_coeffs, two_k: int):
         """q = sum_i r_i(X) * u_i(X) via pointwise products on the 2k domain.
 
@@ -432,40 +596,71 @@ class Backend:
             return self._ifft(total[None], two_k)[0]
 
         if isinstance(u_coeffs, RowChunkedMatrix):
-            # chunks are row-aligned with r (pad r on-device to match);
-            # no part of u ever visits the host
+            # chunks are row-aligned with r; no part of u ever visits the
+            # host.  r may itself be chunked (streaming-scale verifier) or
+            # a host array (sliced per chunk — no single big upload)
             xp = self.xp
             rows, k_, L = u_coeffs.shape
             cr = u_coeffs.chunk_rows
-            r_dev = self.asarray(r_coeffs)
-            pad = len(u_coeffs.chunks) * cr - rows
-            if pad:
-                r_dev = xp.concatenate(
-                    [r_dev, xp.zeros((pad, k_, L), np.uint32)], axis=0)
+            if isinstance(r_coeffs, RowChunkedMatrix):
+                assert r_coeffs.rows == rows
+                if r_coeffs.chunk_rows == cr:
+                    r_blocks = r_coeffs.chunks
+                else:  # re-chunk on device to match u's row blocks
+                    r_blocks = [self._rcm_row_block(
+                        r_coeffs, ci * cr, min((ci + 1) * cr, rows), cr)
+                        for ci in range(len(u_coeffs.chunks))]
+            elif isinstance(r_coeffs, np.ndarray):
+                pad = len(u_coeffs.chunks) * cr - rows
+                r_np = (np.concatenate(
+                    [r_coeffs, np.zeros((pad, k_, L), r_coeffs.dtype)])
+                    if pad else r_coeffs)
+                r_blocks = [np.ascontiguousarray(r_np[ci * cr:(ci + 1) * cr])
+                            for ci in range(len(u_coeffs.chunks))]
+            else:
+                r_dev = r_coeffs
+                pad = len(u_coeffs.chunks) * cr - rows
+                if pad:
+                    r_dev = xp.concatenate(
+                        [r_dev, xp.zeros((pad, k_, L), np.uint32)], axis=0)
+                r_blocks = [r_dev[ci * cr:(ci + 1) * cr]
+                            for ci in range(len(u_coeffs.chunks))]
             parts = [self._jit16(("linq_part", two_k, uc.shape), partial)(
-                uc, r_dev[ci * cr:(ci + 1) * cr])
+                uc, r_blocks[ci])
                 for ci, uc in enumerate(u_coeffs.chunks)]
             total = self._jit(("linq_sum", two_k, len(parts)),
                               lambda ps: self.fk.sum_mod(self.xp.stack(ps), axis=0))(parts)
             return self._jit(("linq_fin", two_k), finish)(total)
 
         B, _, L = u_coeffs.shape
+        r_is_rcm = isinstance(r_coeffs, RowChunkedMatrix)  # zk prover mixes
         if self.use_jax and B * two_k * L * 4 > self.MAX_DEVICE_BYTES:
             chunk = max(8, self.MAX_DEVICE_BYTES // (two_k * L * 4))
-            u_host, r_host = np.asarray(u_coeffs), np.asarray(r_coeffs)
+            u_host = np.asarray(u_coeffs)
+            r_host = None if r_is_rcm else np.asarray(r_coeffs)
             parts = []
             for i in range(0, B, chunk):
-                ub, rb = u_host[i:i + chunk], r_host[i:i + chunk]
+                ub = u_host[i:i + chunk]
+                if r_is_rcm:
+                    rb = self._rcm_row_block(r_coeffs, i, min(i + chunk, B),
+                                             chunk)
+                else:
+                    rb = r_host[i:i + chunk]
+                    if rb.shape[0] < chunk:
+                        rb = np.concatenate(
+                            [rb, np.zeros((chunk - rb.shape[0],) + rb.shape[1:],
+                                          np.uint32)])
                 if ub.shape[0] < chunk:
-                    pad = chunk - ub.shape[0]
                     ub = np.concatenate(
-                        [ub, np.zeros((pad,) + ub.shape[1:], np.uint32)])
-                    rb = np.concatenate(
-                        [rb, np.zeros((pad,) + rb.shape[1:], np.uint32)])
+                        [ub, np.zeros((chunk - ub.shape[0],) + ub.shape[1:],
+                                      np.uint32)])
                 parts.append(self._jit16(("linq_part", two_k, ub.shape), partial)(ub, rb))
             total = self._jit(("linq_sum", two_k, len(parts)),
                               lambda ps: self.fk.sum_mod(self.xp.stack(ps), axis=0))(parts)
             return self._jit(("linq_fin", two_k), finish)(total)
+
+        if r_is_rcm:
+            r_coeffs = self._rcm_row_block(r_coeffs, 0, B, B)
 
         def run(u, r):
             return finish(partial(u, r))
@@ -620,6 +815,8 @@ class Backend:
         chunks (columns are independent; only the tiny digest rows leave
         the device per chunk).
         """
+        if isinstance(u_canon, StreamedCodewords):
+            return self.commit_columns_streaming(u_canon)
         if isinstance(u_canon, RowChunkedMatrix):
             # assemble column blocks on-device from the resident chunks;
             # only the digest rows (32 B/column) ever leave the device

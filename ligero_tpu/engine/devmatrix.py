@@ -40,3 +40,27 @@ class RowChunkedMatrix:
     @property
     def shape(self) -> tuple[int, int, int]:
         return (self.rows, self.n, self.L)
+
+
+class StreamedCodewords:
+    """A logical ``(rows, n, L)`` canonical codeword matrix that is never
+    materialized anywhere — not in HBM, not on the host.
+
+    Holds the (much smaller) device-resident coefficient matrix; consumers
+    re-encode row chunks on demand: the streaming commit hashes each chunk
+    into per-column incremental Blake2s states
+    (``Backend.commit_columns``), and column openings re-encode chunks and
+    gather only the ``t`` opened columns (``Backend.gather_columns``).
+    This is what lets proof sizes scale past the HBM residency budget
+    (k/n = 1/8: the coefficient form is 8x smaller than U).
+    """
+
+    def __init__(self, coeffs: "RowChunkedMatrix", n: int, rows: int):
+        self.coeffs = coeffs
+        self.n = n
+        self.rows = rows
+        self.L = coeffs.L
+
+    @property
+    def shape(self) -> tuple[int, int, int]:
+        return (self.rows, self.n, self.L)

@@ -172,6 +172,48 @@ class HashKernel:
             [h[..., i] ^ v[i] ^ v[i + 8] for i in range(8)], axis=-1)
 
     # ------------------------------------------------------------------
+    # Blake2s-256 streaming (incremental) interface
+    #
+    # The streaming commit (Backend.commit_columns_streaming) hashes each
+    # codeword column as its row chunks are produced, so the full n-wide
+    # canonical matrix never exists anywhere.  State per message is the
+    # 8-word chaining value; the caller owns the <64-byte carry buffer and
+    # the byte counter (data-independent across equal-length columns).
+    # Bit-compatible with the one-shot :meth:`blake2s` (tested vs hashlib).
+    # ------------------------------------------------------------------
+    def blake2s_stream_start(self, batch: int):
+        """Initial chaining state for B messages: (B, 8) uint32."""
+        xp = self.xp
+        h = xp.broadcast_to(xp.asarray(_IV), (batch, 8)).astype(np.uint32)
+        return xp.concatenate(
+            [(h[..., :1] ^ np.uint32(0x01010020)), h[..., 1:]], axis=-1)
+
+    def blake2s_stream_blocks(self, h, blocks, t0):
+        """Absorb full non-final blocks into the chaining state.
+
+        ``blocks``: (nb, B, 16) LE message words; ``t0``: bytes already
+        processed before this call (traced uint32 scalar — NOT a jit-key
+        constant, so every chunk of a streamed matrix shares one compile).
+        """
+        xp = self.xp
+        nb = blocks.shape[0]
+        ts = (xp.asarray(t0).astype(np.uint32)
+              + xp.asarray(np.arange(1, nb + 1, dtype=np.uint32) * np.uint32(64)))
+
+        def body(hc, x):
+            m, t = x
+            return self._blake2s_compress(hc, m, t, False), None
+
+        h, _ = self._scan(body, h, (blocks, xp.asarray(ts)), force_scan=True)
+        return h
+
+    def blake2s_stream_end(self, h, last_block, byte_len: int):
+        """Final compression: ``last_block`` (B, 16) zero-padded LE words,
+        ``byte_len`` the total message length in bytes."""
+        assert byte_len < (1 << 32)
+        return self._blake2s_compress(h, last_block, np.uint32(byte_len), True)
+
+    # ------------------------------------------------------------------
     # SHA-256 (for 64-byte Merkle two-to-one compressions)
     # ------------------------------------------------------------------
     def _sha256_compress(self, state, block):

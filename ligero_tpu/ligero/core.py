@@ -25,7 +25,7 @@ import numpy as np
 from .. import native
 from ..circuit.arithmetic import ADD, CONST, MUL, VAR, ArithmeticCircuit
 from ..engine.backend import Backend, get_backend
-from ..engine.devmatrix import RowChunkedMatrix
+from ..engine.devmatrix import RowChunkedMatrix, StreamedCodewords
 from ..engine.fieldops import FieldKernel
 from ..fields import FieldSpec
 from ..hashes import column_hash
@@ -619,6 +619,14 @@ class LigeroCircuit:
                 preenc_dev = be.asarray(preenc.astype(np.uint16))
             self._preenc_dev = preenc_dev
             return be.rs_encode_resident(preenc_dev, k, n)
+        if getattr(be, "resident_ok", False):
+            # streaming commit: past the residency budget, U is never
+            # materialized at all — only the rate_inv-times-smaller
+            # coefficient matrix stays resident; the commit hashes
+            # re-encoded row chunks into per-column incremental Blake2s
+            # states, and openings re-encode chunks to gather t columns
+            u_coeffs = be.intt_resident(preenc, k)
+            return u_coeffs, StreamedCodewords(u_coeffs, n, four_m)
         chunk = max(8, Backend.MAX_DEVICE_BYTES // (n * L * 4))
         u_coeffs = np.empty((four_m, k, L), np.uint32)
         u_canon = np.empty((four_m, n, L), np.uint32)
@@ -826,12 +834,18 @@ class LigeroCircuit:
         be = self.backend
         seed_r = sponge.squeeze_bytes(CHACHA_SEED_BYTES)       # FS #2
         r = self._expand_field(4 * self.m, seed_r)
-        # reuse the device-resident preenc upload when one exists (set by
-        # _rs_encode_streamed's resident branch for this proof)
-        preenc_src = getattr(self, "_preenc_dev", None)
-        if preenc_src is None or preenc_src.shape != preenc.shape:
-            preenc_src = preenc
-        preenc_u_lc = be.mont_to_ints(be.row_combine(r, preenc_src))
+        if isinstance(u_canon, StreamedCodewords):
+            # streaming mode: combine in coefficient space and NTT_k the
+            # result (linearity; bit-identical field elements — tested)
+            preenc_u_lc = be.mont_to_ints(
+                be.row_combine_coeffs(r, u_canon.coeffs))
+        else:
+            # reuse the device-resident preenc upload when one exists (set
+            # by _rs_encode_streamed's resident branch for this proof)
+            preenc_src = getattr(self, "_preenc_dev", None)
+            if preenc_src is None or preenc_src.shape != preenc.shape:
+                preenc_src = preenc
+            preenc_u_lc = be.mont_to_ints(be.row_combine(r, preenc_src))
         sponge.absorb_field_elems(preenc_u_lc)                 # FS #3
         columns, paths = self._open_columns(u_canon, tree, sponge)  # FS #4
         return InterleavedProof(preenc_u_lc, columns, paths)
@@ -844,7 +858,12 @@ class LigeroCircuit:
         """
         be = self.backend
         four_mk = 4 * self.m * self.k
-        if be.use_jax and self._device_coo(four_mk) is not None:
+        # past ~6 device-buffer budgets the (4mk, L) challenge vector and
+        # segment-sum output would themselves become corruption-regime
+        # buffers — use the native host sampler + chunked-resident iNTT
+        fits_device = (four_mk * self.field.num_limbs * 4
+                       <= 6 * Backend.MAX_DEVICE_BYTES)
+        if be.use_jax and fits_device and self._device_coo(four_mk) is not None:
             # fully device-resident path: ChaCha20 expansion, gather,
             # mont products, per-column segment sums — no host work and
             # no r^T A upload (the host path moves ~100 MB/proof over
@@ -881,7 +900,12 @@ class LigeroCircuit:
             r_a = self._a_fast.row_mul(r_mont_ints)           # Montgomery ints
             r_a_limbs = self.field.ints_to_limbs(r_a)
         with phase_timer.phase("linear.intt"):
-            return be.intt(r_a_limbs.reshape(4 * self.m, self.k, -1), self.k)
+            shaped = r_a_limbs.reshape(4 * self.m, self.k, -1)
+            if not fits_device and getattr(be, "resident_ok", False):
+                # streaming scale: r-coefficient rows stay chunk-resident,
+                # row-aligned with the streamed u_coeffs chunks
+                return be.intt_resident(shaped, self.k)
+            return be.intt(shaped, self.k)
 
     def _device_coo(self, four_mk: int):
         """A's nonzeros as device arrays sorted by column (one-time upload),
