@@ -383,6 +383,27 @@ class Backend:
         chunk = max(8, self.MAX_DEVICE_BYTES // (n_max * field.num_limbs * 4))
         return chunk & ~1
 
+    def coeffs_resident(self, rows_coeffs: np.ndarray,
+                        n: int) -> RowChunkedMatrix:
+        """Upload already-computed coefficient rows (any width w <= n) as
+        u16 device-resident chunks sized for re-expansion to ``n``-point
+        codewords — the zk prover's entry into the streaming commit (its
+        rows are blinded to width k+3t, so they arrive as coefficients
+        rather than through :meth:`intt_resident`)."""
+        rows, w, L = rows_coeffs.shape
+        chunk = max(8, self.MAX_DEVICE_BYTES // (n * self.field.num_limbs * 4))
+        chunk &= ~1
+        chunk = max(chunk, 2)
+        chunks = []
+        for i in range(0, rows, chunk):
+            blk = np.ascontiguousarray(rows_coeffs[i:i + chunk])
+            r = blk.shape[0]
+            if r < chunk:
+                blk = np.concatenate(
+                    [blk, np.zeros((chunk - r, w, L), blk.dtype)])
+            chunks.append(self.asarray(blk.astype(np.uint16)))
+        return RowChunkedMatrix(chunks, rows, chunk)
+
     def commit_columns_streaming(self, sc: StreamedCodewords):
         """Column commitment without materializing U: re-encode each
         coefficient chunk to canonical codewords on-device and absorb its

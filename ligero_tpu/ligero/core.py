@@ -671,7 +671,10 @@ class LigeroCircuit:
         """Coefficient rows -> canonical n-point codewords, row-chunked.
 
         Same residency policy as :meth:`_rs_encode_streamed`: the codeword
-        matrix stays device-resident when it exceeds one buffer."""
+        matrix stays device-resident when it exceeds one buffer, and past
+        the residency budget it is never materialized at all — only the
+        (k+3t)-wide blinded coefficient rows stay device-resident and the
+        streaming commit re-encodes row chunks on demand."""
         be, n = self.backend, self.n
         rows, w, L = rows_coeffs.shape
         if not be.use_jax or rows * n * L * 4 <= Backend.MAX_DEVICE_BYTES:
@@ -680,6 +683,9 @@ class LigeroCircuit:
         chunk = max(8, Backend.MAX_DEVICE_BYTES // (n * L * 4))
         resident = (getattr(be, "resident_ok", False)
                     and rows * n * L * 4 <= _resident_budget())
+        if getattr(be, "resident_ok", False) and not resident:
+            coeffs_rcm = be.coeffs_resident(rows_coeffs, n)
+            return StreamedCodewords(coeffs_rcm, n, rows)
         chunks = []
         out = None if resident else np.empty((rows, n, L), np.uint32)
         for i in range(0, rows, chunk):

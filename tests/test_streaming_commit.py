@@ -152,6 +152,38 @@ def test_e2e_prove_verify_streaming_commit(stream_budget):
     assert proof.to_bytes(F) == proof_np.to_bytes(F)
 
 
+def test_zk_e2e_streaming_commit(stream_budget, monkeypatch):
+    """zk prove with the streaming commit active: the blinded (k+3t)-wide
+    coefficient rows stay chunk-resident, the codeword matrix is never
+    materialized, and the proof is byte-identical to the numpy zk proof."""
+    from ligero_tpu.ligero import LigeroCircuit
+    from ligero_tpu.sponge import test_sponge
+    from ligero_tpu.synthetic import generate_random_circuit
+
+    calls = []
+    orig = Backend.coeffs_resident
+
+    def spy(self, rows_coeffs, n):
+        calls.append(rows_coeffs.shape)
+        return orig(self, rows_coeffs, n)
+
+    monkeypatch.setattr(Backend, "coeffs_resident", spy)
+
+    seed_zk = b"\x5a" * 32
+    c, outs, vars_ = generate_random_circuit(F, 96, num_vars=4, seed=3)
+    lig = LigeroCircuit(c, outs, lambda_=10, zk=True,
+                        backend=Backend(F, use_jax=True))
+    sp = test_sponge(F)
+    proof = lig.prove(vars_, sp.clone(), zk_seed=seed_zk)
+    assert calls, "zk streaming-commit path not taken"
+    assert lig.verify(proof, sp.clone())
+
+    c2, outs2, vars2 = generate_random_circuit(F, 96, num_vars=4, seed=3)
+    lig_np = LigeroCircuit(c2, outs2, lambda_=10, zk=True, backend=Backend(F))
+    proof_np = lig_np.prove(vars2, sp.clone(), zk_seed=seed_zk)
+    assert proof.to_bytes(F) == proof_np.to_bytes(F)
+
+
 def test_e2e_streaming_commit_chunked_r_coeffs(stream_budget):
     """At scale the r^T A coefficient rows exceed single buffers too: the
     prover's linear phase pairs a chunked u with chunked r rows, and the
