@@ -69,10 +69,14 @@ class Backend:
         self.hk = HashKernel(self.xp, unroll=unroll)
         self._domains: dict[int, DomainOps] = {}
         self._jit_cache: dict = {}
-        # single-device backends keep oversized matrices device-resident
-        # (RowChunkedMatrix); ShardedBackend opts out (its arrays are
-        # already mesh-distributed)
+        # resident_ok: may the protocol keep device-resident chunked state
+        # at all (RowChunkedMatrix / StreamedCodewords / mesh-resident).
+        # resident_u_ok: may it pin the FULL codeword matrix U resident
+        # (single-device yes; ShardedBackend overrides to False so
+        # beyond-one-buffer encodes go straight to the mesh-streaming
+        # commit instead of an unsharded single-device resident U).
         self.resident_ok = use_jax
+        self.resident_u_ok = True
 
     # ------------------------------------------------------------------
     def domain(self, n: int) -> DomainOps:

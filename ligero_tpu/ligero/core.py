@@ -612,7 +612,8 @@ class LigeroCircuit:
         # product transients; beyond the budget, spill to host streaming.
         # Chunks are stored as uint16 (Backend.narrow16) — 2 bytes/limb.
         resident_fits = (total + four_m * k * L * 4) // 2 <= _resident_budget()
-        if getattr(be, "resident_ok", False) and resident_fits:
+        if (getattr(be, "resident_ok", False) and resident_fits
+                and getattr(be, "resident_u_ok", True)):
             # single u16 upload of preenc, reused by the interleaved-phase
             # row combination (saves a second ~50-135 MB tunnel transfer)
             with phase_timer.phase("wit.upload"):
@@ -682,6 +683,7 @@ class LigeroCircuit:
             return out if be.use_jax else be.to_numpy(out)
         chunk = max(8, Backend.MAX_DEVICE_BYTES // (n * L * 4))
         resident = (getattr(be, "resident_ok", False)
+                    and getattr(be, "resident_u_ok", True)
                     and rows * n * L * 4 <= _resident_budget())
         if getattr(be, "resident_ok", False) and not resident:
             coeffs_rcm = be.coeffs_resident(rows_coeffs, n)

@@ -30,7 +30,71 @@ from __future__ import annotations
 import numpy as np
 
 from ..engine.backend import Backend
+from ..engine.devmatrix import RowChunkedMatrix, StreamedCodewords
 from ..fields import FieldSpec
+
+
+def _to_cyclic(arr: np.ndarray, c: int, D: int) -> np.ndarray:
+    """Rows -> block-cyclic device layout: (rows, *rest) ->
+    (D, J*c, *rest), where global row ``g`` lands on device
+    ``(g % (c*D)) // c`` at local slot ``(g // (c*D)) * c + g % c``.
+    Zero-pads to a whole number of c*D-row steps."""
+    rows, rest = arr.shape[0], arr.shape[1:]
+    C = c * D
+    J = -(-rows // C)
+    pad = J * C - rows
+    if pad:
+        arr = np.concatenate([arr, np.zeros((pad,) + rest, arr.dtype)])
+    a = arr.reshape(J, D, c, *rest)
+    return np.ascontiguousarray(np.moveaxis(a, 1, 0).reshape(D, J * c, *rest))
+
+
+def _from_cyclic(a: np.ndarray, rows: int, c: int, D: int) -> np.ndarray:
+    """Inverse of :func:`_to_cyclic` (drops the zero padding)."""
+    J = a.shape[1] // c
+    out = np.moveaxis(a.reshape(D, J, c, *a.shape[2:]), 0, 1)
+    return np.ascontiguousarray(out.reshape(J * D * c, *a.shape[2:]))[:rows]
+
+
+class ShardedCoeffs:
+    """Mesh-resident coefficient rows in block-cyclic row layout.
+
+    ``dev`` is a ``(D, J*c, w, L)`` uint16 array sharded over mesh axis
+    ``"rows"`` (device d owns slice ``dev[d]``).  The block-cyclic layout
+    (see :func:`_to_cyclic`) is what makes the streaming commit's
+    ``all_to_all`` row->column reshard deliver each step's ``c*D`` rows in
+    GLOBAL row order (source-device-major), so the per-column incremental
+    Blake2s can absorb rows 0..rows-1 sequentially while every device
+    encodes only its own rows.
+
+    Duck-types the parts of ``RowChunkedMatrix`` the protocol layer
+    touches (``.n`` = coefficient width, ``.L``, ``.rows``, ``.shape``);
+    ``__getitem__`` materializes host rows (used by the quadratic phase,
+    whose x_i/y_i/z_i row triples are m rows apart and so cannot be
+    aligned per-device for any m — a host round-trip of the 8x-smaller
+    coefficient form, cheap on pods with local hosts).
+    """
+
+    def __init__(self, dev, rows: int, w: int, L: int, c: int, D: int):
+        self.dev = dev
+        self.rows = rows
+        self.n = w
+        self.L = L
+        self.c = c
+        self.D = D
+
+    @property
+    def J(self) -> int:
+        return self.dev.shape[1] // self.c
+
+    @property
+    def shape(self) -> tuple[int, int, int]:
+        return (self.rows, self.n, self.L)
+
+    def __getitem__(self, sl):
+        host = np.asarray(self.dev)                    # (D, J*c, w, L) u16
+        return _from_cyclic(host, self.rows, self.c, self.D)[sl].astype(
+            np.uint32)
 
 
 def _shard_map(fn, mesh, in_specs, out_specs):
@@ -65,6 +129,9 @@ class ShardedBackend(Backend):
         self.mesh = mesh
         self.D = mesh.shape["rows"]
         assert self.D & (self.D - 1) == 0, "device count must be a power of two"
+        # never pin the full codeword matrix on one device: past one
+        # buffer, encodes go to the mesh-streaming commit (see below)
+        self.resident_u_ok = False
 
     # ------------------------------------------------------------------
     def _pad_rows(self, a: np.ndarray, mult: int):
@@ -138,6 +205,11 @@ class ShardedBackend(Backend):
 
     def ntt_columns(self, coeffs, n: int, js: np.ndarray) -> np.ndarray:
         from jax.sharding import PartitionSpec as P
+        if isinstance(coeffs, ShardedCoeffs):
+            # streaming scale: coefficient rows are mesh-resident
+            return self._stream_cols_sharded(coeffs, n, js, False)
+        if isinstance(coeffs, RowChunkedMatrix):
+            return Backend.ntt_columns(self, coeffs, n, js)
         js = np.ascontiguousarray(np.asarray(js, dtype=np.int32))
         arr, rows = self._pad_rows(np.asarray(coeffs), self.D)
 
@@ -179,6 +251,9 @@ class ShardedBackend(Backend):
     def linear_combination_poly(self, u_coeffs, r_coeffs, two_k: int):
         import jax
         from jax.sharding import PartitionSpec as P
+        if (isinstance(u_coeffs, ShardedCoeffs)
+                or isinstance(r_coeffs, ShardedCoeffs)):
+            return self._linq_streaming(u_coeffs, r_coeffs, two_k)
         u, rows = self._pad_rows(np.asarray(u_coeffs), self.D)
         r, _ = self._pad_rows(np.asarray(r_coeffs), self.D)
 
@@ -259,3 +334,268 @@ class ShardedBackend(Backend):
         with self.mesh:
             out = fn(self.asarray(u))
         return out[:nc] if pad else out
+
+    # ------------------------------------------------------------------
+    # streaming scale: mesh-resident coefficients, U never materialized
+    #
+    # Past one device buffer the codeword matrix is neither downloaded nor
+    # pinned on a single device (resident_u_ok = False): only the
+    # rate_inv-times-smaller coefficient rows stay mesh-resident, in the
+    # block-cyclic layout of ShardedCoeffs.  The commit re-encodes each
+    # device's c-row block per step, all_to_alls the (c, n) codewords into
+    # (c*D, n/D) column shards — arriving in global row order — and each
+    # device chains its n/D per-column incremental Blake2s states.  This
+    # is the distributed form of Backend.commit_columns_streaming and is
+    # bit-identical to it (and to the host hashlib commit; tested).
+    # ------------------------------------------------------------------
+    def _cyclic_c(self, n_expand: int) -> int:
+        """Per-device rows per step: the re-expanded (c, n, L) codeword
+        block must fit the single-buffer budget; even so each full step
+        contributes whole 64-byte blocks per column to the streaming
+        hash."""
+        c = max(2, self.MAX_DEVICE_BYTES
+                // (n_expand * self.field.num_limbs * 4))
+        return max(2, c & ~1)
+
+    def _upload_cyclic(self, arr: np.ndarray, c: int):
+        import jax
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+        host = _to_cyclic(arr.astype(np.uint16), c, self.D)
+        spec = P("rows", *([None] * (host.ndim - 1)))
+        return jax.device_put(host, NamedSharding(self.mesh, spec))
+
+    def intt_resident(self, preenc: np.ndarray, k: int) -> ShardedCoeffs:
+        """iNTT_k of all rows into mesh-resident block-cyclic chunks."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+        rows, k_, L = preenc.shape
+        c = self._cyclic_c(16 * k)
+        dev = self._upload_cyclic(np.asarray(preenc), c)
+        J = dev.shape[1] // c
+
+        def local(x):
+            blk = x[0].astype(np.uint32).reshape(J, c, k_, L)
+            out = jax.lax.map(
+                lambda b: self._ifft(b, k).astype(np.uint16), blk)
+            return out.reshape(1, J * c, k_, L)
+
+        spec = P("rows", None, None, None)
+        fn = self._sharded(("shs_intt", k, dev.shape), local, (spec,), spec)
+        with self.mesh:
+            out = fn(dev)
+        return ShardedCoeffs(out, rows, k, L, c, self.D)
+
+    def coeffs_resident(self, rows_coeffs: np.ndarray,
+                        n: int) -> ShardedCoeffs:
+        """Upload already-computed (zk-blinded) coefficient rows as
+        mesh-resident block-cyclic chunks sized for n-point re-expansion."""
+        rows, w, L = rows_coeffs.shape
+        c = self._cyclic_c(n)
+        dev = self._upload_cyclic(np.asarray(rows_coeffs), c)
+        return ShardedCoeffs(dev, rows, w, L, c, self.D)
+
+    def _encode_block(self, blk, n: int, canon: bool):
+        """(c, w, L) u16 coefficient block -> (c, n, L) codewords
+        (canonical ints when ``canon``, Montgomery evals otherwise)."""
+        b = blk.astype(np.uint32)
+        if not canon:
+            return self._fft_padded(b, n)
+        if self._pallas_ok(n):
+            from ..engine.pallas_ntt import ntt_pallas
+            w = b.shape[-2]
+            padded = self.xp.concatenate(
+                [b, self.xp.zeros(b.shape[:-2] + (n - w, b.shape[-1]),
+                                  np.uint32)], axis=-2)
+            return ntt_pallas(self.field, padded, n, from_mont_out=True)
+        return self.fk.from_mont(self._fft_padded(b, n))
+
+    def commit_columns_streaming(self, sc: StreamedCodewords):
+        if not isinstance(sc.coeffs, ShardedCoeffs):
+            return super().commit_columns_streaming(sc)
+        import jax
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from ..engine.hashops import be_words_to_bytes, words_to_le_bytes
+        co = sc.coeffs
+        n, rows = sc.n, sc.rows
+        w, L, c, D = co.n, co.L, co.c, co.D
+        assert n % D == 0, "device count must divide the codeword length"
+        C, nD = c * D, n // D
+        J = co.J
+        wpr = L // 2  # 32 canonical LE bytes per element
+        prefix = np.zeros(2, dtype=np.uint32)
+        prefix[0] = rows & 0xFFFFFFFF
+        prefix[1] = rows >> 32
+        spec3 = P("rows", None, None)
+        spec4 = P("rows", None, None, None)
+
+        def make_step(r_keep: int, first: bool):
+            def step(dev_, h_, carry_, t0_, j_):
+                blk = jax.lax.dynamic_slice_in_dim(dev_[0], j_ * c, c, axis=0)
+                canon = self._encode_block(blk, n, True)        # (c, n, L)
+                recv = jax.lax.all_to_all(canon, "rows", split_axis=1,
+                                          concat_axis=0, tiled=True)
+                cols = self.xp.moveaxis(recv[:r_keep], 1, 0)    # (nD, r, L)
+                packed = cols[..., 0::2] | (cols[..., 1::2] << np.uint32(16))
+                words = packed.reshape(nD, r_keep * wpr)
+                head = (self.xp.broadcast_to(self.xp.asarray(prefix), (nD, 2))
+                        if first else carry_[0])
+                words = self.xp.concatenate([head, words], axis=-1)
+                nb = words.shape[1] // 16
+                blocks = self.xp.moveaxis(
+                    words[:, :16 * nb].reshape(nD, nb, 16), 1, 0)
+                h1 = self.hk.blake2s_stream_blocks(h_[0], blocks, t0_)
+                return h1[None], words[None, :, 16 * nb:]
+            return step
+
+        start = np.broadcast_to(
+            np.asarray(self.hk.blake2s_stream_start(1)), (n, 8))
+        sharding = NamedSharding(self.mesh, spec3)
+        h = jax.device_put(
+            np.ascontiguousarray(start.reshape(D, nD, 8)), sharding)
+        carry = jax.device_put(np.zeros((D, nD, 2), np.uint32), sharding)
+        cw, t0 = 2, 0
+        for j in range(J):
+            r_keep = min(C, rows - j * C)
+            if r_keep <= 0:
+                break
+            fn = self._sharded(
+                ("shs_commit", j == 0, r_keep, cw, n, co.dev.shape),
+                make_step(r_keep, j == 0),
+                (spec4, spec3, spec3, P(), P()), (spec3, spec3))
+            with self.mesh:
+                h, carry = fn(co.dev, h, carry, np.uint32(t0), np.int32(j))
+            total_w = cw + r_keep * wpr
+            nb = total_w // 16
+            t0 += 64 * nb
+            cw = total_w - 16 * nb  # 2 after full steps; 2..10 after tail
+
+        byte_len = 8 + rows * L * 2
+
+        def fin(h_, ca):
+            last = self.xp.concatenate(
+                [ca[0], self.xp.zeros((nD, 16 - cw), np.uint32)], axis=-1)
+            return self.hk.blake2s_stream_end(h_[0], last, byte_len)[None]
+
+        fn = self._sharded(("shs_commit_fin", n, cw, byte_len), fin,
+                           (spec3, spec3), spec3)
+        with self.mesh:
+            leaves_dev = fn(h, carry)
+        # all_to_all's tiled split hands device d columns [d*nD, (d+1)*nD):
+        # the gathered (D, nD, 8) is already in natural column order
+        leaves_le = self.to_numpy(leaves_dev).reshape(n, 8)
+        levels = self._tree_levels(leaves_le)
+        leaves = [words_to_le_bytes(row) for row in leaves_le]
+        inner = [[be_words_to_bytes(row) for row in self.to_numpy(level)]
+                 for level in levels]
+        return leaves, inner
+
+    def _stream_cols_sharded(self, co: ShardedCoeffs, n: int, js,
+                             canon: bool) -> np.ndarray:
+        """Columns ``js`` of the never-materialized codeword matrix:
+        every device re-encodes its own row blocks and keeps only the
+        opened columns; rows reassemble on the host from the cyclic
+        layout."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+        w, L, c, D = co.n, co.L, co.c, co.D
+        J = co.J
+        jdev = np.ascontiguousarray(np.asarray(js, dtype=np.int32))
+
+        def local(x, j):
+            blk = x[0].reshape(J, c, w, L)
+            out = jax.lax.map(
+                lambda b: self.xp.take(self._encode_block(b, n, canon),
+                                       j, axis=1).astype(np.uint16), blk)
+            return out.reshape(1, J * c, len(jdev), L)
+
+        spec = P("rows", None, None, None)
+        fn = self._sharded(("shs_cols", canon, n, co.dev.shape, len(jdev)),
+                           local, (spec, P(None)), spec)
+        with self.mesh:
+            out = fn(co.dev, self.asarray(jdev))
+        return _from_cyclic(np.asarray(out), co.rows, c, D).astype(np.uint32)
+
+    def gather_columns(self, u_canon, js) -> np.ndarray:
+        if (isinstance(u_canon, StreamedCodewords)
+                and isinstance(u_canon.coeffs, ShardedCoeffs)):
+            return self._stream_cols_sharded(u_canon.coeffs, u_canon.n,
+                                             js, True)
+        return super().gather_columns(u_canon, js)
+
+    def row_combine_coeffs(self, r, coeffs):
+        if not isinstance(coeffs, ShardedCoeffs):
+            return super().row_combine_coeffs(r, coeffs)
+        import jax
+        from jax.sharding import PartitionSpec as P
+        co = coeffs
+        k, L, c, D = co.n, co.L, co.c, co.D
+        J = co.J
+        r_dev = self._upload_cyclic(np.asarray(r), c)   # (D, J*c, L)
+
+        def local(x, rl):
+            blkJ = x[0].reshape(J, c, k, L)
+            rJ = rl[0].reshape(J, c, L)
+
+            def part(args):
+                b, rr = args
+                prod = self.fk.mont_mul(rr[:, None, :].astype(np.uint32),
+                                        b.astype(np.uint32))
+                return self.fk.sum_mod(prod, axis=0)
+
+            parts = jax.lax.map(part, (blkJ, rJ))       # (J, k, L)
+            loc = self.fk.sum_mod(parts, axis=0)
+            return self.fk.sum_mod(jax.lax.all_gather(loc, "rows"), axis=0)
+
+        fn = self._sharded(("shs_rcc", co.dev.shape), local,
+                           (P("rows", None, None, None),
+                            P("rows", None, None)), P(None, None))
+        with self.mesh:
+            total = fn(co.dev, r_dev)
+        return self._jit(("rcc_ntt", k),
+                         lambda t: self._fft_padded(t[None], k)[0])(total)
+
+    def _linq_streaming(self, u_coeffs, r_coeffs, two_k: int):
+        """q = sum_i r_i(X) u_i(X) with either operand mesh-resident
+        (block-cyclic); the other is re-laid-out to match."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+        co = u_coeffs if isinstance(u_coeffs, ShardedCoeffs) else r_coeffs
+        c, D, L = co.c, co.D, co.L
+        J = co.J
+
+        def cyclic(m):
+            if isinstance(m, ShardedCoeffs):
+                assert m.c == c and m.J == J, "misaligned cyclic layouts"
+                return m.dev, m.n
+            host = np.asarray(m) if isinstance(m, np.ndarray) \
+                else self.to_numpy(m)
+            return self._upload_cyclic(host, c), host.shape[1]
+
+        u_dev, uw = cyclic(u_coeffs)
+        r_dev, rw = cyclic(r_coeffs)
+
+        def local(ud, rd):
+            uJ = ud[0].reshape(J, c, uw, L)
+            rJ = rd[0].reshape(J, c, rw, L)
+
+            def part(args):
+                ub, rb = args
+                eu = self._fft_padded(ub.astype(np.uint32), two_k)
+                er = self._fft_padded(rb.astype(np.uint32), two_k)
+                return self.fk.sum_mod(self.fk.mont_mul(eu, er), axis=0)
+
+            parts = jax.lax.map(part, (uJ, rJ))         # (J, two_k, L)
+            loc = self.fk.sum_mod(parts, axis=0)
+            return self.fk.sum_mod(jax.lax.all_gather(loc, "rows"), axis=0)
+
+        spec = P("rows", None, None, None)
+        fn = self._sharded(("shs_linq", two_k, u_dev.shape, r_dev.shape),
+                           local, (spec, spec), P(None, None))
+        with self.mesh:
+            total = fn(u_dev, r_dev)
+        return self._jit(("shs_linq_fin", two_k),
+                         lambda t: self._ifft(t[None], two_k)[0])(total)
+
