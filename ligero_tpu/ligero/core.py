@@ -950,7 +950,11 @@ class LigeroCircuit:
         be = self.backend
         seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)         # FS #8
         r_quad = self._expand_field(self.m, seed)
-        if isinstance(u_coeffs, RowChunkedMatrix):
+        if isinstance(u_coeffs, RowChunkedMatrix) or (
+                not isinstance(u_coeffs, np.ndarray)
+                and hasattr(u_coeffs, "rows") and hasattr(u_coeffs, "dev")):
+            # device-resident handle (RowChunkedMatrix / mesh ShardedCoeffs):
+            # x/y/z row blocks are assembled on the device(s)
             p0_mont = be.quadratic_combination_poly(
                 u_coeffs, be.asarray(r_quad), 2 * self.k, m=self.m)
         else:

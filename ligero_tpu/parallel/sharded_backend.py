@@ -271,9 +271,16 @@ class ShardedBackend(Backend):
         with self.mesh:
             return fn(self.asarray(u), self.asarray(r))
 
-    def quadratic_combination_poly(self, xyz_coeffs, r_quad, two_k: int):
+    def quadratic_combination_poly(self, xyz_coeffs, r_quad, two_k: int,
+                                   m: int | None = None):
         import jax
         from jax.sharding import PartitionSpec as P
+        if isinstance(xyz_coeffs, ShardedCoeffs):
+            assert m is not None
+            return self._quad_streaming(xyz_coeffs, r_quad, two_k, m)
+        if isinstance(xyz_coeffs, RowChunkedMatrix):
+            return Backend.quadratic_combination_poly(
+                self, xyz_coeffs, r_quad, two_k, m=m)
         xyz = np.asarray(xyz_coeffs)
         three_m, k, L = xyz.shape
         m = three_m // 3
@@ -491,6 +498,72 @@ class ShardedBackend(Backend):
         inner = [[be_words_to_bytes(row) for row in self.to_numpy(level)]
                  for level in levels]
         return leaves, inner
+
+    def _quad_streaming(self, co: ShardedCoeffs, r_quad, two_k: int, m: int):
+        """p0 = sum_i r_i (x_i y_i - z_i) with the 4m coefficient rows
+        mesh-resident: x_i / y_i / z_i are global rows i / m+i / 2m+i,
+        which the block-cyclic layout puts on different devices (the m-row
+        stride is not a multiple of c*D in general), so each i-batch
+        realigns the y and z rows with two static-rotation ``ppermute``s
+        per operand — coefficient traffic rides ICI once, no host
+        round-trip.  Exact mod-p sums keep the result byte-identical to
+        the single-device path."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+        k, L, c, D = co.n, co.L, co.c, co.D
+        C = c * D
+        J = co.J
+        B = -(-m // C)                   # i-batches of C rows
+        # static layout constants: row m+i sits u_y rows into global
+        # c-block q0y + (i // c) (and 2m+i likewise)
+        u_y, u_z = m % c, (2 * m) % c
+        q0y, q0z = (m - u_y) // c, (2 * m - u_z) // c
+        sy, sz = q0y % D, q0z % D        # static device rotations
+        r_cyc = self._upload_cyclic(np.asarray(r_quad), c)   # (D, B*c, L)
+
+        def local(dev_, r_):
+            loc = dev_[0]                # (J*c, k, L) u16
+            rl = r_[0]                   # (B*c, L) u16
+            ax = jax.lax.axis_index("rows")
+
+            def fetch(j, q0, s_rot, u):
+                """Rows [u + c*(q0 + j*D + d), ... + c) of the global
+                matrix, on destination device d = this device."""
+                def one(rot, extra):
+                    d_dst = (ax - s_rot - rot) % D
+                    slot = (q0 + j * D + d_dst + extra) // D
+                    blk = jax.lax.dynamic_slice_in_dim(
+                        loc, slot * c, c, axis=0)
+                    perm = [(int((d + s_rot + rot) % D), d)
+                            for d in range(D)]
+                    return jax.lax.ppermute(blk, "rows", perm)
+                two = self.xp.concatenate([one(0, 0), one(1, 1)], axis=0)
+                return jax.lax.dynamic_slice_in_dim(two, u, c, axis=0)
+
+            def body(j, acc):
+                x = jax.lax.dynamic_slice_in_dim(loc, j * c, c, axis=0)
+                y = fetch(j, q0y, sy, u_y)
+                z = fetch(j, q0z, sz, u_z)
+                rb = jax.lax.dynamic_slice_in_dim(rl, j * c, c, axis=0)
+                ex = self._fft_padded(x.astype(np.uint32), two_k)
+                ey = self._fft_padded(y.astype(np.uint32), two_k)
+                ez = self._fft_padded(z.astype(np.uint32), two_k)
+                term = self.fk.sub(self.fk.mont_mul(ex, ey), ez)
+                weighted = self.fk.mont_mul(
+                    rb[:, None, :].astype(np.uint32), term)
+                return self.fk.add(acc, self.fk.sum_mod(weighted, axis=0))
+
+            acc = jax.lax.fori_loop(
+                0, B, body, self.xp.zeros((two_k, L), np.uint32))
+            return self.fk.sum_mod(jax.lax.all_gather(acc, "rows"), axis=0)
+
+        fn = self._sharded(("shs_quad", two_k, m, co.dev.shape, r_cyc.shape),
+                           local, (P("rows", None, None, None),
+                                   P("rows", None, None)), P(None, None))
+        with self.mesh:
+            total = fn(co.dev, r_cyc)
+        return self._jit(("shs_linq_fin", two_k),
+                         lambda t: self._ifft(t[None], two_k)[0])(total)
 
     def _stream_cols_sharded(self, co: ShardedCoeffs, n: int, js,
                              canon: bool) -> np.ndarray:
