@@ -539,7 +539,7 @@ class Backend:
                     canon = self._from_mont_chunked(self._fft_padded(blk, n))
                 return xp.take(canon, j, axis=1).astype(np.uint16)
 
-            parts = [np.asarray(self._jit(
+            parts = [self.to_numpy(self._jit(
                 ("stream_take", c.shape, n, len(js)), take_cols)(c, jdev))
                 for c in u_canon.coeffs.chunks]
             return np.concatenate(parts, axis=0)[:u_canon.rows].astype(np.uint32)
@@ -549,13 +549,13 @@ class Backend:
             # indices traced, not baked: fresh indices every proof
             take = self._jit(("rcm_take", u_canon.chunks[0].shape, len(js)),
                              lambda c, j: xp.take(c, j, axis=1).astype(np.uint16))
-            parts = [np.asarray(take(c, jdev)) for c in u_canon.chunks]
+            parts = [self.to_numpy(take(c, jdev)) for c in u_canon.chunks]
             out = np.concatenate(parts, axis=0)[:u_canon.rows]
             return out.astype(np.uint32)
         if self.use_jax and not isinstance(u_canon, np.ndarray):
             jdev = self.xp.asarray(js.astype(np.int32))
             out = self.xp.take(u_canon, jdev, axis=1).astype(np.uint16)
-            return np.asarray(out).astype(np.uint32)
+            return self.to_numpy(out).astype(np.uint32)
         return np.ascontiguousarray(np.asarray(u_canon)[:, js, :])
 
     def to_mont(self, a):

@@ -34,6 +34,18 @@ from ..engine.devmatrix import RowChunkedMatrix, StreamedCodewords
 from ..fields import FieldSpec
 
 
+def _host_fetch(a) -> np.ndarray:
+    """Global jax.Array (possibly spanning processes) -> host numpy.
+
+    Multi-process (jax.distributed) arrays are not fully addressable;
+    ``process_allgather`` fetches the global value (every process calls
+    the sharded ops identically, so this is a collective)."""
+    if hasattr(a, "is_fully_addressable") and not a.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+    return np.asarray(a)
+
+
 def _to_cyclic(arr: np.ndarray, c: int, D: int) -> np.ndarray:
     """Rows -> block-cyclic device layout: (rows, *rest) ->
     (D, J*c, *rest), where global row ``g`` lands on device
@@ -92,7 +104,7 @@ class ShardedCoeffs:
         return (self.rows, self.n, self.L)
 
     def __getitem__(self, sl):
-        host = np.asarray(self.dev)                    # (D, J*c, w, L) u16
+        host = _host_fetch(self.dev)                   # (D, J*c, w, L) u16
         return _from_cyclic(host, self.rows, self.c, self.D)[sl].astype(
             np.uint32)
 
@@ -133,6 +145,10 @@ class ShardedBackend(Backend):
         # buffer, encodes go to the mesh-streaming commit (see below)
         self.resident_u_ok = False
 
+    def to_numpy(self, a) -> np.ndarray:
+        # multi-process global arrays need a collective fetch
+        return _host_fetch(a)
+
     # ------------------------------------------------------------------
     def _pad_rows(self, a: np.ndarray, mult: int):
         rows = a.shape[0]
@@ -154,7 +170,7 @@ class ShardedBackend(Backend):
     # ------------------------------------------------------------------
     def rs_encode_and_canon(self, preenc, k: int, n: int):
         from jax.sharding import PartitionSpec as P
-        preenc, rows = self._pad_rows(np.asarray(preenc), self.D)
+        preenc, rows = self._pad_rows(_host_fetch(preenc), self.D)
 
         def local(x):
             coeffs = self._ifft(x, k)
@@ -185,7 +201,7 @@ class ShardedBackend(Backend):
 
     def ntt(self, coeffs, n: int):
         from jax.sharding import PartitionSpec as P
-        arr, rows = self._pad_rows(np.asarray(coeffs), self.D)
+        arr, rows = self._pad_rows(_host_fetch(coeffs), self.D)
         spec = P("rows", None, None)
         fn = self._sharded(("sh_fft", n, arr.shape),
                            lambda x: self._fft_padded(x, n), (spec,), spec)
@@ -195,7 +211,7 @@ class ShardedBackend(Backend):
 
     def intt(self, evals, n: int):
         from jax.sharding import PartitionSpec as P
-        arr, rows = self._pad_rows(np.asarray(evals), self.D)
+        arr, rows = self._pad_rows(_host_fetch(evals), self.D)
         spec = P("rows", None, None)
         fn = self._sharded(("sh_ifft", n, arr.shape),
                            lambda x: self._ifft(x, n), (spec,), spec)
@@ -211,7 +227,7 @@ class ShardedBackend(Backend):
         if isinstance(coeffs, RowChunkedMatrix):
             return Backend.ntt_columns(self, coeffs, n, js)
         js = np.ascontiguousarray(np.asarray(js, dtype=np.int32))
-        arr, rows = self._pad_rows(np.asarray(coeffs), self.D)
+        arr, rows = self._pad_rows(_host_fetch(coeffs), self.D)
 
         # indices are a traced (replicated) argument, not a baked
         # constant: they change every proof and a js-keyed jit would
@@ -233,8 +249,8 @@ class ShardedBackend(Backend):
     def row_combine(self, r, mat):
         import jax
         from jax.sharding import PartitionSpec as P
-        mat, rows = self._pad_rows(np.asarray(mat), self.D)
-        r, _ = self._pad_rows(np.asarray(r), self.D)
+        mat, rows = self._pad_rows(_host_fetch(mat), self.D)
+        r, _ = self._pad_rows(_host_fetch(r), self.D)
 
         def local(r_blk, m_blk):
             partial = self.fk.sum_mod(
@@ -254,8 +270,8 @@ class ShardedBackend(Backend):
         if (isinstance(u_coeffs, ShardedCoeffs)
                 or isinstance(r_coeffs, ShardedCoeffs)):
             return self._linq_streaming(u_coeffs, r_coeffs, two_k)
-        u, rows = self._pad_rows(np.asarray(u_coeffs), self.D)
-        r, _ = self._pad_rows(np.asarray(r_coeffs), self.D)
+        u, rows = self._pad_rows(_host_fetch(u_coeffs), self.D)
+        r, _ = self._pad_rows(_host_fetch(r_coeffs), self.D)
 
         def local(ub, rb):
             eu = self._fft_padded(ub, two_k)
@@ -281,7 +297,7 @@ class ShardedBackend(Backend):
         if isinstance(xyz_coeffs, RowChunkedMatrix):
             return Backend.quadratic_combination_poly(
                 self, xyz_coeffs, r_quad, two_k, m=m)
-        xyz = np.asarray(xyz_coeffs)
+        xyz = _host_fetch(xyz_coeffs)
         three_m, k, L = xyz.shape
         m = three_m // 3
         xyz = xyz.reshape(3, m, k, L)
@@ -289,7 +305,7 @@ class ShardedBackend(Backend):
         if pad:
             xyz = np.concatenate(
                 [xyz, np.zeros((3, pad, k, L), np.uint32)], axis=1)
-        r, _ = self._pad_rows(np.asarray(r_quad), self.D)
+        r, _ = self._pad_rows(_host_fetch(r_quad), self.D)
 
         def local(blk, rb):
             ex = self._fft_padded(blk[0], two_k)
@@ -313,7 +329,7 @@ class ShardedBackend(Backend):
     # ------------------------------------------------------------------
     def _column_leaves_device(self, u_canon):
         from jax.sharding import PartitionSpec as P
-        u = np.asarray(u_canon)
+        u = _host_fetch(u_canon)
         four_m, nc, L = u.shape
         pad = (-nc) % self.D
         if pad:
@@ -370,7 +386,11 @@ class ShardedBackend(Backend):
         from jax.sharding import PartitionSpec as P
         host = _to_cyclic(arr.astype(np.uint16), c, self.D)
         spec = P("rows", *([None] * (host.ndim - 1)))
-        return jax.device_put(host, NamedSharding(self.mesh, spec))
+        # make_array_from_callback (not device_put): works when the mesh
+        # spans processes (every process holds the same host value)
+        return jax.make_array_from_callback(
+            host.shape, NamedSharding(self.mesh, spec),
+            lambda idx: host[idx])
 
     def intt_resident(self, preenc: np.ndarray, k: int) -> ShardedCoeffs:
         """iNTT_k of all rows into mesh-resident block-cyclic chunks."""
@@ -378,7 +398,7 @@ class ShardedBackend(Backend):
         from jax.sharding import PartitionSpec as P
         rows, k_, L = preenc.shape
         c = self._cyclic_c(16 * k)
-        dev = self._upload_cyclic(np.asarray(preenc), c)
+        dev = self._upload_cyclic(_host_fetch(preenc), c)
         J = dev.shape[1] // c
 
         def local(x):
@@ -399,7 +419,7 @@ class ShardedBackend(Backend):
         mesh-resident block-cyclic chunks sized for n-point re-expansion."""
         rows, w, L = rows_coeffs.shape
         c = self._cyclic_c(n)
-        dev = self._upload_cyclic(np.asarray(rows_coeffs), c)
+        dev = self._upload_cyclic(_host_fetch(rows_coeffs), c)
         return ShardedCoeffs(dev, rows, w, L, c, self.D)
 
     def _encode_block(self, blk, n: int, canon: bool):
@@ -519,7 +539,7 @@ class ShardedBackend(Backend):
         u_y, u_z = m % c, (2 * m) % c
         q0y, q0z = (m - u_y) // c, (2 * m - u_z) // c
         sy, sz = q0y % D, q0z % D        # static device rotations
-        r_cyc = self._upload_cyclic(np.asarray(r_quad), c)   # (D, B*c, L)
+        r_cyc = self._upload_cyclic(_host_fetch(r_quad), c)  # (D, B*c, L)
 
         def local(dev_, r_):
             loc = dev_[0]                # (J*c, k, L) u16
@@ -589,7 +609,7 @@ class ShardedBackend(Backend):
                            local, (spec, P(None)), spec)
         with self.mesh:
             out = fn(co.dev, self.asarray(jdev))
-        return _from_cyclic(np.asarray(out), co.rows, c, D).astype(np.uint32)
+        return _from_cyclic(self.to_numpy(out), co.rows, c, D).astype(np.uint32)
 
     def gather_columns(self, u_canon, js) -> np.ndarray:
         if (isinstance(u_canon, StreamedCodewords)
@@ -606,7 +626,7 @@ class ShardedBackend(Backend):
         co = coeffs
         k, L, c, D = co.n, co.L, co.c, co.D
         J = co.J
-        r_dev = self._upload_cyclic(np.asarray(r), c)   # (D, J*c, L)
+        r_dev = self._upload_cyclic(_host_fetch(r), c)  # (D, J*c, L)
 
         def local(x, rl):
             blkJ = x[0].reshape(J, c, k, L)
@@ -643,8 +663,7 @@ class ShardedBackend(Backend):
             if isinstance(m, ShardedCoeffs):
                 assert m.c == c and m.J == J, "misaligned cyclic layouts"
                 return m.dev, m.n
-            host = np.asarray(m) if isinstance(m, np.ndarray) \
-                else self.to_numpy(m)
+            host = m if isinstance(m, np.ndarray) else self.to_numpy(m)
             return self._upload_cyclic(host, c), host.shape[1]
 
         u_dev, uw = cyclic(u_coeffs)

@@ -96,9 +96,33 @@ def main():
         "distributed lc != host golden"
 
     digest = hashlib.sha256(root_np.tobytes() + lc_np.tobytes()).hexdigest()
+
+    # ---- FULL prover across processes, in mesh-STREAMING mode (tiny
+    # single-buffer budget: mesh-resident block-cyclic coefficients,
+    # all_to_all streaming commit, ppermute quadratic realignment),
+    # byte-compared against the in-process numpy proof
+    from ligero_tpu.ligero import LigeroCircuit
+    from ligero_tpu.parallel import ShardedBackend
+    from ligero_tpu.sponge import test_sponge
+    from ligero_tpu.synthetic import generate_random_circuit
+
+    Backend.MAX_DEVICE_BYTES = 4096
+    c, outs, vars_ = generate_random_circuit(F, 300, num_vars=8, seed=9)
+    lig = LigeroCircuit(c, outs, backend=ShardedBackend(F, mesh))
+    sp = test_sponge(F)
+    proof = lig.prove(vars_, sp.clone())
+    assert lig.verify(proof, sp.clone()), "distributed verify failed"
+    blob = proof.to_bytes(F)
+
+    c2, outs2, vars2 = generate_random_circuit(F, 300, num_vars=8, seed=9)
+    host_blob = LigeroCircuit(c2, outs2, backend=Backend(F)).prove(
+        vars2, sp.clone()).to_bytes(F)
+    assert blob == host_blob, "distributed proof != host proof"
+    proof_digest = hashlib.sha256(blob).hexdigest()
+
     with open(out_file, "w") as f:
-        f.write(f"{process_id} {D} {digest}\n")
-    print(f"process {process_id}: OK {digest}")
+        f.write(f"{process_id} {D} {digest} {proof_digest}\n")
+    print(f"process {process_id}: OK {digest} {proof_digest}")
 
 
 if __name__ == "__main__":

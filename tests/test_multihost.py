@@ -55,3 +55,5 @@ def test_two_process_distributed_core(tmp_path):
     # both saw the full 8-device mesh and produced identical digests
     assert all(line[1] == "8" for line in lines), lines
     assert lines[0][2] == lines[1][2], lines
+    # full-prover (mesh-streaming) proof bytes also agree across processes
+    assert lines[0][3] == lines[1][3], lines
