@@ -152,11 +152,32 @@ def _attach_recorded(result: dict) -> None:
                 break
 
 
+def _backend_reachable(timeout_s: int = 600) -> bool:
+    """Probe the default JAX backend in a subprocess: the tunneled TPU can
+    be transiently unavailable and jax.devices() then HANGS (no error), so
+    the probe must be killable.  A CPU number (clearly labeled) beats a
+    hung/absent bench artifact."""
+    import subprocess
+    try:
+        r = subprocess.run([sys.executable, "-c", "import jax; jax.devices()"],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     scale = os.environ.get("LIGERO_BENCH_SCALE", "large")
     four_m, k = SCALES.get(scale, SCALES["large"])
 
     import jax
+    if (os.environ.get("LIGERO_BENCH_TPU_PROBE", "1") == "1"
+            and not _backend_reachable()):
+        sys.stderr.write("default backend unreachable; falling back to CPU\n")
+        jax.config.update("jax_platforms", "cpu")
+        os.environ["LIGERO_BENCH_PALLAS"] = "0"  # Pallas cannot run on CPU
+        os.environ["LIGERO_BENCH_UNROLL"] = "0"  # XLA CPU chokes on unroll
+        four_m, k = SCALES["small"]
     platform = jax.devices()[0].platform
 
     canary = "skipped"

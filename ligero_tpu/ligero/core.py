@@ -607,6 +607,7 @@ class LigeroCircuit:
         n = self.n
         total = four_m * n * L * 4
         if not be.use_jax or total <= Backend.MAX_DEVICE_BYTES:
+            self._encode_mode = "direct"
             return be.rs_encode_and_canon(preenc, k, n)
         # resident U + coeffs must leave HBM headroom for the commit /
         # product transients; beyond the budget, spill to host streaming.
@@ -619,8 +620,10 @@ class LigeroCircuit:
             with phase_timer.phase("wit.upload"):
                 preenc_dev = be.asarray(preenc.astype(np.uint16))
             self._preenc_dev = preenc_dev
+            self._encode_mode = "resident"
             return be.rs_encode_resident(preenc_dev, k, n)
         if getattr(be, "resident_ok", False):
+            self._encode_mode = "streaming"
             # streaming commit: past the residency budget, U is never
             # materialized at all — only the rate_inv-times-smaller
             # coefficient matrix stays resident; the commit hashes
@@ -628,6 +631,7 @@ class LigeroCircuit:
             # states, and openings re-encode chunks to gather t columns
             u_coeffs = be.intt_resident(preenc, k)
             return u_coeffs, StreamedCodewords(u_coeffs, n, four_m)
+        self._encode_mode = "host-streamed"
         chunk = max(8, Backend.MAX_DEVICE_BYTES // (n * L * 4))
         u_coeffs = np.empty((four_m, k, L), np.uint32)
         u_canon = np.empty((four_m, n, L), np.uint32)

@@ -171,6 +171,8 @@ def run_scale(log2_gates: int, zk: bool = False) -> dict:
     rs_elems = 4 * ligero.m * ligero.n
     return {
         "log2_gates": log2_gates,
+        "encode_mode": getattr(ligero, "_encode_mode", None),
+        "resident_budget_gb": os.environ.get("LIGERO_RESIDENT_BUDGET_GB"),
         "m": ligero.m, "k": ligero.k, "n": ligero.n, "t": ligero.t,
         "gen_s": round(gen_s, 1),
         "build_s": round(compile_s, 1),
@@ -196,6 +198,9 @@ def main():
     ap.add_argument("--no-canary", action="store_true")
     ap.add_argument("--zk", action="store_true",
                     help="zk mode (blinded rows + mask commitments)")
+    ap.add_argument("--budget-gb", type=float, default=None,
+                    help="override LIGERO_RESIDENT_BUDGET_GB (small values "
+                         "force the streaming commit: U never materialized)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU platform (the ambient env pins the "
                          "tunneled TPU; env vars do not override it)")
@@ -204,6 +209,8 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.budget_gb is not None:
+        os.environ["LIGERO_RESIDENT_BUDGET_GB"] = str(args.budget_gb)
 
     from ligero_tpu.utils import jaxcache
     jaxcache.enable()

@@ -82,12 +82,18 @@ def test_blake2s_streaming_matches_hashlib():
             assert got == expect, (batch, rows, chunk_rows, i)
 
 
-def test_commit_streaming_matches_direct(stream_budget):
+@pytest.mark.parametrize("field", ["bn254", "bls12_377"])
+def test_commit_streaming_matches_direct(stream_budget, field):
     """commit_columns on a StreamedCodewords handle == commit_columns on
-    the materialized matrix."""
-    be = Backend(F, use_jax=True)
-    be_np = Backend(F)
-    preenc = _rand_mont((12, 8), seed=11)
+    the materialized matrix.  BLS12-377 (48-byte elements, 12 words/row)
+    exercises the oscillating {2,10}-word carry widths."""
+    from ligero_tpu.fields import BLS12_377_FQ
+    fld = F if field == "bn254" else BLS12_377_FQ
+    be = Backend(fld, use_jax=True)
+    be_np = Backend(fld)
+    rng = np.random.default_rng(11)
+    ints = [int(x) for x in rng.integers(0, 2 ** 62, 12 * 8)]
+    preenc = fld.ints_to_mont_limbs(ints).reshape(12, 8, fld.num_limbs)
     coeffs = be.intt_resident(np.asarray(preenc, dtype=np.uint32), 8)
     assert isinstance(coeffs, RowChunkedMatrix)
     sc = StreamedCodewords(coeffs, 64, 12)
