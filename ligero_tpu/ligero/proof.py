@@ -144,4 +144,7 @@ class LigeroProof:
         inter = InterleavedProof(get_fvec(), get_columns(), get_paths())
         lin = LinearConstraintsProof(get_fvec(), get_columns(), get_paths())
         quad = QuadraticConstraintsProof(get_fvec(), get_columns(), get_paths())
+        if pos != len(data):
+            # strict canonical encoding: one proof <-> one byte string
+            raise ValueError("trailing bytes after proof")
         return cls(u_root, inter, lin, quad)
