@@ -170,7 +170,21 @@ def main(argv: list[str] | None = None) -> int:
     _add_common(p)
     p.add_argument("--proof", required=True)
 
+    p = sub.add_parser("serve", help="run the HTTP prover service")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8037)
+    p.add_argument("--field", default="bn254_fr")
+    p.add_argument("--jax", action="store_true")
+    p.add_argument("--cpu", action="store_true")
+
     args = ap.parse_args(argv)
+    if args.cmd == "serve":
+        from .server import ProverService, serve
+        field = _field(args.field)
+        svc = ProverService(field=field, backend=(
+            _backend(args, field) if (args.jax or args.cpu) else None))
+        serve(args.host, args.port, svc)
+        return 0
     return {"info": cmd_info, "prove": cmd_prove,
             "verify": cmd_verify}[args.cmd](args)
 
