@@ -561,6 +561,93 @@ class Backend:
     def to_mont(self, a):
         return self._jit(("to_mont", a.shape), self.fk.to_mont)(self.asarray(a))
 
+    # ------------------------------------------------------------------
+    # batched-proof helpers (LigeroCircuit.prove_batch): B proofs of the
+    # same circuit share one device dispatch per bulk op
+    # ------------------------------------------------------------------
+    def commit_columns_batch(self, u_canon, B: int):
+        """(B*rows, n, L) canonical limbs -> per-proof (leaves, levels).
+
+        One Blake2s dispatch over all B*n columns (equal lengths) and one
+        batched SHA-256 reduction per tree level; byte-identical to B
+        separate :meth:`commit_columns` calls (tested)."""
+        xp = self.xp
+        BR, n, L = u_canon.shape
+        rows = BR // B
+        wpr = L // 2
+        byte_len = 8 + rows * L * 2
+        pad_words = (-(2 + rows * wpr)) % 16
+        prefix = np.zeros(2, dtype=np.uint32)
+        prefix[0] = rows & 0xFFFFFFFF
+        prefix[1] = rows >> 32
+
+        def leaves_fn(u):
+            u4 = self._widen(u).reshape(B, rows, n, L)
+            cols = xp.moveaxis(u4, 2, 1)                  # (B, n, rows, L)
+            packed = cols[..., 0::2] | (cols[..., 1::2] << np.uint32(16))
+            words = packed.reshape(B * n, rows * wpr)
+            pre = xp.broadcast_to(xp.asarray(prefix), (B * n, 2))
+            words = xp.concatenate(
+                [pre, words, xp.zeros((B * n, pad_words), np.uint32)],
+                axis=-1)
+            return self.hk.blake2s(words, byte_len)
+
+        leaves_le = self._jit(("commit_b", B, u_canon.shape),
+                              leaves_fn)(u_canon)
+
+        def byteswap(x):
+            return (((x & np.uint32(0xFF)) << np.uint32(24))
+                    | ((x & np.uint32(0xFF00)) << np.uint32(8))
+                    | ((x >> np.uint32(8)) & np.uint32(0xFF00))
+                    | (x >> np.uint32(24)))
+
+        def tree_fn(lv):
+            level = byteswap(lv).reshape(B, n, 8)
+            levels = []
+            while level.shape[1] > 1:
+                a = level[:, 0::2].reshape(-1, 8)
+                b = level[:, 1::2].reshape(-1, 8)
+                level = self.hk.sha256_two_to_one(a, b).reshape(
+                    B, -1, 8)
+                levels.append(level)
+            return tuple(levels)
+
+        levels_dev = self._jit(("tree_b", B, n), tree_fn)(leaves_le)
+        leaves_np = self.to_numpy(leaves_le).reshape(B, n, 8)
+        levels_np = [self.to_numpy(lv) for lv in levels_dev]
+        out = []
+        for b in range(B):
+            leaves_b = [words_to_le_bytes(row) for row in leaves_np[b]]
+            inner_b = [[be_words_to_bytes(r) for r in lv[b]]
+                       for lv in levels_np]
+            out.append((leaves_b, inner_b))
+        return out
+
+    def row_combine_batch(self, r, mats):
+        """Per-proof challenge combinations: r (B, rows, L) x mats
+        (B, rows, k, L) -> (B, k, L) Montgomery limbs."""
+
+        def run(r_, m_):
+            prod = self.fk.mont_mul(r_[:, :, None, :], m_)
+            return self.fk.sum_mod(prod, axis=1)
+
+        return self._jit16(("rowcomb_b", r.shape, mats.shape), run)(r, mats)
+
+    def gather_columns_batch(self, u_canon, idx: np.ndarray) -> np.ndarray:
+        """Per-proof column openings: u (B*rows, n, L) device array +
+        idx (B, t) -> (B, rows, t, L) numpy (u16 on the wire)."""
+        B, t = idx.shape
+        xp = self.xp
+
+        def run(u, j):
+            u4 = self._widen(u).reshape(B, -1, u.shape[-2], u.shape[-1])
+            return xp.take_along_axis(
+                u4, j[:, None, :, None], axis=2).astype(np.uint16)
+
+        out = self._jit(("gather_b", u_canon.shape, idx.shape), run)(
+            u_canon, self.asarray(np.ascontiguousarray(idx, np.int32)))
+        return self.to_numpy(out).astype(np.uint32)
+
     def row_combine(self, r, mat):
         """r^T · M for r (B, L), M (B, k, L) -> (k, L); all Montgomery.
 

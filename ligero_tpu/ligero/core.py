@@ -441,6 +441,127 @@ class LigeroCircuit:
         indexed = [(self.circuit.variables[lbl], v) for lbl, v in var_assignment]
         return self._prove_inner(indexed, sponge, zk_seed)
 
+    def prove_batch(self, assignments: list[list[tuple[int, int]]],
+                    sponge) -> list[LigeroProof]:
+        """Prove B witnesses of this circuit in one batched device
+        pipeline (framework extension for serving throughput; the
+        reference proves one witness at a time).
+
+        Each proof gets its own clone of ``sponge`` — proofs are
+        byte-identical to B sequential :meth:`prove` calls (tested) —
+        but the bulk device work is batched: one RS encode over all
+        B*4m rows, one Blake2s dispatch over all B*n columns, batched
+        SHA-256 tree levels, one interleaved combination, and one
+        column-opening gather per phase.  zk mode, mesh backends, and
+        batches past the single-buffer budget fall back to sequential
+        proving (correctness first; the batch path targets many small/
+        medium proofs on one chip, where dispatch latency dominates).
+        """
+        if not assignments:
+            return []
+        be = self.backend
+        L = self.field.num_limbs
+        per_proof = 4 * self.m * self.n * L * 4
+        sub_max = max(1, Backend.MAX_DEVICE_BYTES // per_proof)
+        if (self.zk or getattr(be, "mesh", None) is not None
+                or sub_max == 1 or not be.use_jax):
+            return [self.prove(a, sponge.clone()) for a in assignments]
+        out: list[LigeroProof] = []
+        for i in range(0, len(assignments), sub_max):
+            out.extend(self._prove_batch_inner(
+                assignments[i:i + sub_max], sponge))
+        return out
+
+    def _prove_batch_inner(self, assignments, sponge) -> list[LigeroProof]:
+        be, field = self.backend, self.field
+        m, k, n = self.m, self.k, self.n
+        B = len(assignments)
+        sponges = [sponge.clone() for _ in range(B)]
+
+        with phase_timer.phase("witness+preenc"):
+            bumped = [[(self._bump_index(i), v) for i, v in a]
+                      for a in assignments]
+            preencs = np.stack([self._build_preenc(b) for b in bumped])
+
+        with phase_timer.phase("rs_encode"):
+            coeffs, canon = be.rs_encode_and_canon(
+                np.ascontiguousarray(
+                    preencs.reshape(B * 4 * m, k, -1)), k, n)
+
+        with phase_timer.phase("commit"):
+            trees = [MerkleTree(lv, inner_levels=il) for lv, il in
+                     be.commit_columns_batch(canon, B)]
+
+        def open_batch(idx_rows: list[list[int]]):
+            """Batched gather + per-proof columns/paths."""
+            idx = np.asarray(idx_rows, dtype=np.int64)
+            cols4 = be.gather_columns_batch(canon, idx)   # (B, 4m, t, L)
+            res = []
+            for b in range(B):
+                columns = [field.limbs_to_ints(cols4[b, :, i, :])
+                           for i in range(idx.shape[1])]
+                paths = [trees[b].generate_proof(j) for j in idx_rows[b]]
+                res.append((columns, paths))
+            return res
+
+        # ---- interleaved (FS #1-#4), bulk combination batched
+        with phase_timer.phase("interleaved"):
+            rs = []
+            for b in range(B):
+                sponges[b].absorb_bytes(trees[b].root)         # FS #1
+                seed_r = sponges[b].squeeze_bytes(CHACHA_SEED_BYTES)  # FS #2
+                rs.append(self._expand_field(4 * m, seed_r))
+            lcs = be.to_numpy(be.row_combine_batch(np.stack(rs), preencs))
+            lc_ints, idx1 = [], []
+            for b in range(B):
+                lc_b = field.mont_limbs_to_ints(lcs[b])
+                lc_ints.append(lc_b)
+                sponges[b].absorb_field_elems(lc_b)            # FS #3
+                idx1.append(self._sample_indices(
+                    sponges[b].squeeze_bytes(CHACHA_SEED_BYTES)))  # FS #4
+            opened1 = open_batch(idx1)
+            inter = [InterleavedProof(lc_ints[b], *opened1[b])
+                     for b in range(B)]
+
+        # ---- linear (FS #5-#7): per-proof challenge rows + poly product
+        # (warm shared jits), batched opening gather
+        with phase_timer.phase("linear"):
+            qs, idx2 = [], []
+            for b in range(B):
+                seed = sponges[b].squeeze_bytes(CHACHA_SEED_BYTES)  # FS #5
+                r_coeffs = self._r_a_coeff_rows(seed)
+                q_mont = be.linear_combination_poly(
+                    coeffs[b * 4 * m:(b + 1) * 4 * m], r_coeffs, 2 * k)
+                q = _trim(be.canon_limbs_to_ints(be.from_mont(q_mont)))
+                qs.append(q)
+                sponges[b].absorb_field_elems(q)               # FS #6
+                idx2.append(self._sample_indices(
+                    sponges[b].squeeze_bytes(CHACHA_SEED_BYTES)))  # FS #7
+            opened2 = open_batch(idx2)
+            linear = [LinearConstraintsProof(qs[b], *opened2[b])
+                      for b in range(B)]
+
+        # ---- quadratic (FS #8-#10)
+        with phase_timer.phase("quadratic"):
+            p0s, idx3 = [], []
+            for b in range(B):
+                seed = sponges[b].squeeze_bytes(CHACHA_SEED_BYTES)  # FS #8
+                r_quad = self._expand_field(m, seed)
+                p0_mont = be.quadratic_combination_poly(
+                    coeffs[b * 4 * m:b * 4 * m + 3 * m],
+                    be.asarray(r_quad), 2 * k)
+                p0 = _trim(be.canon_limbs_to_ints(be.from_mont(p0_mont)))
+                p0s.append(p0)
+                sponges[b].absorb_field_elems(p0)              # FS #9
+                idx3.append(self._sample_indices(
+                    sponges[b].squeeze_bytes(CHACHA_SEED_BYTES)))  # FS #10
+            opened3 = open_batch(idx3)
+            quad = [QuadraticConstraintsProof(p0s[b], *opened3[b])
+                    for b in range(B)]
+
+        return [LigeroProof(trees[b].root, inter[b], linear[b], quad[b])
+                for b in range(B)]
+
     def _solution_vectors(self, var_assignment):
         trace = self.circuit.evaluation_trace_multioutput(var_assignment, self.outputs)
         if any(v is None for v in trace):

@@ -80,6 +80,22 @@ class ProverService:
         return {"proof": blob.hex(), "bytes": len(blob),
                 "prove_s": round(time.time() - t0, 4)}
 
+    def prove_batch(self, name: str, witnesses) -> dict:
+        """B proofs of one circuit through the batched device pipeline
+        (LigeroCircuit.prove_batch) — the serving-throughput path."""
+        from .sponge import test_sponge
+        lig = self._get(name)
+        assignments = [[(i, int(v) % self.field.p)
+                        for i, v in enumerate(w[1:], start=1)]
+                       for w in witnesses]
+        t0 = time.time()
+        proofs = lig.prove_batch(assignments, test_sponge(self.field))
+        dt = time.time() - t0
+        blobs = [p.to_bytes(self.field) for p in proofs]
+        return {"proofs": [b.hex() for b in blobs],
+                "prove_s": round(dt, 4),
+                "proofs_per_s": round(len(blobs) / dt, 3) if dt else None}
+
     def verify(self, name: str, proof_hex: str) -> dict:
         from .ligero import LigeroProof
         from .sponge import test_sponge
@@ -126,6 +142,9 @@ def make_handler(service: ProverService):
                         rate_inv=req.get("rate_inv", 8),
                         security=req.get("security", 128)))
                 if self.path == "/prove":
+                    if "witnesses" in req:
+                        return self._send(200, service.prove_batch(
+                            req["name"], req["witnesses"]))
                     return self._send(200, service.prove(
                         req["name"], witness=req.get("witness"),
                         inputs=req.get("inputs"), wasm=req.get("wasm"),

@@ -78,6 +78,19 @@ def test_service_errors(server_url):
     assert e.value.code == 400
 
 
+def test_service_batch_prove(server_url):
+    _post(server_url, "/circuits", {"name": "mb", "r1cs": R1CS})
+    wits = [[1, (3 + i) * (5 + i), 3 + i, 5 + i] for i in range(3)]
+    res = _post(server_url, "/prove", {"name": "mb", "witnesses": wits})
+    assert len(res["proofs"]) == 3
+    for ph in res["proofs"]:
+        assert _post(server_url, "/verify",
+                     {"name": "mb", "proof": ph})["verified"] is True
+    # batched proofs == single-witness proofs (deterministic transcript)
+    single = _post(server_url, "/prove", {"name": "mb", "witness": wits[1]})
+    assert single["proof"] == res["proofs"][1]
+
+
 def test_service_witness_list(server_url):
     _post(server_url, "/circuits", {"name": "m2", "r1cs": R1CS})
     # witness = [1, y, s1, s2] for y = s1*s2 (wire order from the .r1cs)
