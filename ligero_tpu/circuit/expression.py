@@ -129,6 +129,18 @@ class Expression:
             acc = acc * e
         return acc
 
+    def __repr__(self) -> str:
+        """Reference Display parity (src/expression/mod.rs:273-287):
+        ``Kind(args)<identity>``, with ``id()`` standing in for the
+        reference's ``Rc`` pointer hash."""
+        h = id(self)
+        if self.kind == VAR:
+            return f"Variable({self.label})<{h}>"
+        if self.kind == CONST:
+            return f"Constant({self.value})<{h}>"
+        op = "Add" if self.kind == ADD else "Mul"
+        return f"{op}({id(self.left)}, {id(self.right)})<{h}>"
+
     # -- compilation -------------------------------------------------------
     def _update_map(self, nodes: dict[int, tuple[int, tuple]]) -> None:
         """Pre-order DFS keyed by object identity (iterative)."""

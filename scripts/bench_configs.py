@@ -88,13 +88,29 @@ def bench_fixture(name, cs, witness_vals, iters: int, use_jax: bool) -> dict:
         assert lig.verify(proof, sponge.clone())
         verify_s.append(time.time() - t0)
 
-    return {
+    out = {
         "constraints": cs.num_constraints,
         "m": lig.m, "k": lig.k, "n": lig.n, "t": lig.t,
         "prove_s": round(min(prove_s), 4),
         "verify_s": round(min(verify_s), 4),
+        "proofs_per_s_seq": round(1.0 / min(prove_s), 3),
         "proof_bytes": len(proof.to_bytes(F)),
     }
+
+    if use_jax:
+        # serving throughput: B identical-shape proofs through the batched
+        # device pipeline (LigeroCircuit.prove_batch).  On the host-numpy
+        # path prove_batch degenerates to sequential proving, so skip it.
+        batch = 8
+        assignments = [var_assignment for _ in range(batch)]
+        _ = lig.prove_batch(assignments, sponge)   # warm the batched kernels
+        t0 = time.time()
+        batch_proofs = lig.prove_batch(assignments, sponge)
+        batch_dt = time.time() - t0
+        assert batch_proofs[0].to_bytes(F) == proof.to_bytes(F)
+        out["proofs_per_s_batch8"] = round(batch / batch_dt, 3)
+
+    return out
 
 
 def main():
