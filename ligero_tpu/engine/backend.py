@@ -246,6 +246,41 @@ class Backend:
             self._jit(("fft_cols", n, coeffs.shape, len(js)), run)(
                 self.asarray(coeffs), jdev)).astype(np.uint32)
 
+    def ntt_columns_batch(self, coeffs_b: np.ndarray, n: int,
+                          idx: np.ndarray) -> np.ndarray:
+        """Per-proof spot-column encodes: coeffs (B, rows, w, L) + idx
+        (B, t) -> (B, rows, t, L) numpy.
+
+        One fused device dispatch over all B proofs' ``rows`` n-point
+        NTTs, each proof keeping only its own opened columns — the
+        batched form of :meth:`ntt_columns` for ``verify_batch`` (the
+        per-proof values are identical; tested).  Indices are a traced
+        argument (they change every proof; a baked constant would force
+        a fresh TPU compile per verification batch).
+        """
+        coeffs_b = np.ascontiguousarray(coeffs_b)
+        B, rows, w, L = coeffs_b.shape
+        idx = np.ascontiguousarray(np.asarray(idx, dtype=np.int32))
+        per_proof = rows * n * L * 4
+        sub = max(1, self.MAX_DEVICE_BYTES // per_proof)
+        if self.use_jax and sub < B:
+            out = np.empty((B, rows, idx.shape[1], L), np.uint32)
+            for i in range(0, B, sub):
+                out[i:i + sub] = self.ntt_columns_batch(
+                    coeffs_b[i:i + sub], n, idx[i:i + sub])
+            return out
+        xp = self.xp
+
+        def run(x, j):
+            ev = self._fft_padded(x.reshape(B * rows, w, L), n)
+            ev = ev.reshape(B, rows, n, L)
+            return xp.take_along_axis(
+                ev, j[:, None, :, None], axis=2).astype(np.uint16)
+
+        res = self._jit(("fft_cols_b", n, coeffs_b.shape, idx.shape), run)(
+            self.asarray(coeffs_b), self.asarray(idx))
+        return self.to_numpy(res).astype(np.uint32)
+
     def intt(self, evals, n: int):
         return self._jit16(("ifft", n, evals.shape),
                            lambda x: self._ifft(x, n))(evals)

@@ -1128,6 +1128,79 @@ class LigeroCircuit:
         with phase_timer.phase("v.quadratic"):
             return self._verify_quadratic(proof.quadratic, proof.u_root, sponge)
 
+    def verify_batch(self, proofs: list[LigeroProof], sponge) -> list[bool]:
+        """Verify B proofs of this circuit with the bulk device work
+        fused (framework extension for serving throughput; the reference
+        verifies one proof at a time).
+
+        Verdicts are identical to B sequential :meth:`verify` calls
+        (tested): each proof gets its own transcript clone, and the
+        per-proof checks run unchanged — only the device-heavy operands
+        are precomputed in one dispatch each: the B interleaved lc rows
+        share one RS encode, and the B linear-phase challenge row blocks
+        (4m x k each) share one batched spot-column encode
+        (``ntt_columns_batch``, the verifier's dominant device op).  zk
+        mode, mesh backends, and the host-numpy engine fall back to
+        sequential verification.
+        """
+        be = self.backend
+        if (len(proofs) <= 1 or self.zk
+                or getattr(be, "mesh", None) is not None or not be.use_jax):
+            return [self.verify(p, sponge.clone()) for p in proofs]
+
+        # pass 1: replay each well-formed proof's FS transcript (host
+        # sponge ops only; annotated order pinned by _prove_inner) to
+        # collect the linear-phase operands
+        pre: dict[int, tuple] = {}
+        for i, p in enumerate(proofs):
+            if not self._well_formed(p):
+                continue
+            sp = sponge.clone()
+            sp.absorb_bytes(p.u_root)                            # FS #1
+            sp.squeeze_bytes(CHACHA_SEED_BYTES)                  # FS #2
+            sp.absorb_field_elems(p.interleaved.preenc_u_lc)     # FS #3
+            sp.squeeze_bytes(CHACHA_SEED_BYTES)                  # FS #4
+            seed5 = sp.squeeze_bytes(CHACHA_SEED_BYTES)          # FS #5
+            sp.absorb_field_elems(p.linear.polynomial)           # FS #6
+            idx2 = self._sample_indices(
+                sp.squeeze_bytes(CHACHA_SEED_BYTES))             # FS #7
+            pre[i] = (self._r_a_coeff_rows(seed5), idx2)
+
+        # pass 2: one fused dispatch per heavy op across all live proofs
+        ws: dict[int, list[int]] = {}
+        revals: dict[int, np.ndarray] = {}
+        if pre:
+            order = sorted(pre)
+            lc_stack = np.stack(
+                [be.ints_to_mont(proofs[i].interleaved.preenc_u_lc)
+                 for i in order]).reshape(len(order), self.k, -1)
+            _, w_evals = be.rs_encode_rows(lc_stack, self.k, self.n)
+            w_np = be.to_numpy(w_evals)
+            rc_stack = np.stack([np.asarray(be.to_numpy(pre[i][0]),
+                                            dtype=np.uint32) for i in order])
+            js_stack = np.asarray([pre[i][1] for i in order], np.int32)
+            with phase_timer.phase("v.ntt_cols"):
+                cols = be.ntt_columns_batch(rc_stack, self.n, js_stack)
+            for j, i in enumerate(order):
+                ws[i] = be.mont_to_ints(w_np[j])
+                revals[i] = cols[j]
+
+        # pass 3: the normal staged verification, heavy values injected
+        out: list[bool] = []
+        for i, p in enumerate(proofs):
+            if i not in pre:
+                out.append(False)
+                continue
+            sp = sponge.clone()
+            sp.absorb_bytes(p.u_root)                            # FS #1
+            ok = self._verify_interleaved(p.interleaved, p.u_root, sp,
+                                          _w=ws[i])
+            ok = ok and self._verify_linear(p.linear, p.u_root, sp,
+                                            _pre=(pre[i][0], revals[i]))
+            ok = ok and self._verify_quadratic(p.quadratic, p.u_root, sp)
+            out.append(bool(ok))
+        return out
+
     def _well_formed(self, proof: LigeroProof) -> bool:
         """Structural validation of an untrusted proof: malformed shapes
         return False instead of crashing downstream reshapes/indexing
@@ -1154,7 +1227,8 @@ class LigeroCircuit:
                     return False
         return True
 
-    def _verify_interleaved(self, proof: InterleavedProof, u_root, sponge) -> bool:
+    def _verify_interleaved(self, proof: InterleavedProof, u_root, sponge,
+                            _w=None) -> bool:
         be, p = self.backend, self.field.p
         seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)         # FS #2
         r_limbs = self._expand_field(4 * self.m, seed)
@@ -1162,7 +1236,11 @@ class LigeroCircuit:
         if not self._verify_column_openings(proof.columns, proof.paths,
                                             u_root, sponge):   # FS #4
             return False
-        if self.zk:
+        if _w is not None:
+            # precomputed by verify_batch's fused RS encode (identical
+            # values to the single-proof branches below)
+            w = _w
+        elif self.zk:
             # the zk reveal is in coefficient space (deg < k + 3t); check
             # w(omega^j) == <r, U[:4m, j]> + U[mask0, j]
             lc = be.ints_to_mont(proof.preenc_u_lc).reshape(1, self.blind_len, -1)
@@ -1214,10 +1292,13 @@ class LigeroCircuit:
         return self.field.limbs_to_ints(
             native.u64_to_u16_limbs(out, L))
 
-    def _verify_linear(self, proof: LinearConstraintsProof, u_root, sponge) -> bool:
+    def _verify_linear(self, proof: LinearConstraintsProof, u_root, sponge,
+                       _pre=None) -> bool:
         be, p, k = self.backend, self.field.p, self.k
         seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)         # FS #5
-        r_coeffs = self._r_a_coeff_rows(seed)
+        # _pre = (r_coeffs, r_evals_cols) precomputed by verify_batch
+        # from this proof's replayed transcript (seed values identical)
+        r_coeffs = _pre[0] if _pre is not None else self._r_a_coeff_rows(seed)
 
         # d2 = 2k (non-zk, the reference's domain) or next_pow2(2(k+3t))
         # (zk); stride maps the k message-domain points into the d2 grid
@@ -1243,8 +1324,13 @@ class LigeroCircuit:
         # columns on-device (values identical to the reference's full
         # n-point encodes, mod.rs:815-819, evaluated lazily per column)
         js = np.asarray([path.leaf_index for path in proof.paths])
-        with phase_timer.phase("v.ntt_cols"):
-            r_evals_cols = be.ntt_columns(r_coeffs, self.n, js)
+        if _pre is not None:
+            # openings passed, so js == the replayed-transcript indices
+            # the batch encode used
+            r_evals_cols = _pre[1]
+        else:
+            with phase_timer.phase("v.ntt_cols"):
+                r_evals_cols = be.ntt_columns(r_coeffs, self.n, js)
         # <r_i(omega^j), U[:, j]> for all t columns at once on the host
         # limb kernel (mont r-evals x canonical columns = canonical)
         with phase_timer.phase("v.spot"):

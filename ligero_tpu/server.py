@@ -19,6 +19,8 @@ API (JSON over HTTP, stdlib-only on both ends):
                                  ["zk_seed": hex]}
                                 -> {"proof": hex, "prove_s": ...}
     POST /verify                {"name", "proof": hex} -> {"verified": bool}
+                                or {"name", "proofs": [hex, ...]} ->
+                                {"verified": [bool, ...]} (batched pipeline)
 
 Single-threaded by design: requests against one TPU serialize anyway, and
 the Fiat–Shamir sponge is cheap host work.  Proofs are deterministic
@@ -109,6 +111,30 @@ class ProverService:
         ok = bool(lig.verify(proof, test_sponge(self.field).clone()))
         return {"verified": ok, "verify_s": round(time.time() - t0, 4)}
 
+    def verify_batch(self, name: str, proofs_hex) -> dict:
+        """B verdicts through the fused device pipeline
+        (LigeroCircuit.verify_batch); malformed blobs get False without
+        failing the batch."""
+        from .ligero import LigeroProof
+        from .sponge import test_sponge
+        lig = self._get(name)
+        t0 = time.time()
+        parsed, verdicts = [], {}
+        for i, ph in enumerate(proofs_hex):
+            try:
+                parsed.append(
+                    (i, LigeroProof.from_bytes(bytes.fromhex(ph), self.field)))
+            except ValueError:
+                verdicts[i] = False
+        batch = lig.verify_batch([p for _, p in parsed],
+                                 test_sponge(self.field))
+        for (i, _), ok in zip(parsed, batch):
+            verdicts[i] = ok
+        dt = time.time() - t0
+        return {"verified": [verdicts[i] for i in range(len(proofs_hex))],
+                "verify_s": round(dt, 4),
+                "proofs_per_s": round(len(proofs_hex) / dt, 3) if dt else None}
+
     def health(self) -> dict:
         return {"status": "ok", "field": self.field.name,
                 "circuits": sorted(self._circuits)}
@@ -150,6 +176,9 @@ def make_handler(service: ProverService):
                         inputs=req.get("inputs"), wasm=req.get("wasm"),
                         zk_seed=req.get("zk_seed")))
                 if self.path == "/verify":
+                    if "proofs" in req:
+                        return self._send(200, service.verify_batch(
+                            req["name"], req["proofs"]))
                     res = service.verify(req["name"], req["proof"])
                     return self._send(200, res)
                 return self._send(404, {"error": "not found"})

@@ -91,6 +91,19 @@ def test_service_batch_prove(server_url):
     assert single["proof"] == res["proofs"][1]
 
 
+def test_service_batch_verify(server_url):
+    _post(server_url, "/circuits", {"name": "vb", "r1cs": R1CS})
+    wits = [[1, (3 + i) * (5 + i), 3 + i, 5 + i] for i in range(2)]
+    res = _post(server_url, "/prove", {"name": "vb", "witnesses": wits})
+    tampered = bytearray(bytes.fromhex(res["proofs"][0]))
+    tampered[50] ^= 1
+    out = _post(server_url, "/verify",
+                {"name": "vb",
+                 "proofs": [res["proofs"][0], "nothex!", res["proofs"][1],
+                            bytes(tampered).hex()]})
+    assert out["verified"] == [True, False, True, False]
+
+
 def test_service_witness_list(server_url):
     _post(server_url, "/circuits", {"name": "m2", "r1cs": R1CS})
     # witness = [1, y, s1, s2] for y = s1*s2 (wire order from the .r1cs)
