@@ -442,7 +442,8 @@ class LigeroCircuit:
         return self._prove_inner(indexed, sponge, zk_seed)
 
     def prove_batch(self, assignments: list[list[tuple[int, int]]],
-                    sponge) -> list[LigeroProof]:
+                    sponge,
+                    zk_seeds: list[bytes] | None = None) -> list[LigeroProof]:
         """Prove B witnesses of this circuit in one batched device
         pipeline (framework extension for serving throughput; the
         reference proves one witness at a time).
@@ -450,26 +451,40 @@ class LigeroCircuit:
         Each proof gets its own clone of ``sponge`` — proofs are
         byte-identical to B sequential :meth:`prove` calls (tested) —
         but the bulk device work is batched: one RS encode over all
-        B*4m rows, one Blake2s dispatch over all B*n columns, batched
+        B*rows rows, one Blake2s dispatch over all B*n columns, batched
         SHA-256 tree levels, one interleaved combination, and one
-        column-opening gather per phase.  zk mode, mesh backends, and
-        batches past the single-buffer budget fall back to sequential
-        proving (correctness first; the batch path targets many small/
-        medium proofs on one chip, where dispatch latency dominates).
+        column-opening gather per phase.  zk instances batch too (the
+        per-proof blinding/mask rows come from ``zk_seeds[i]``, fresh
+        random by default).  Mesh backends and batches past the
+        single-buffer budget fall back to sequential proving
+        (correctness first; the batch path targets many small/medium
+        proofs on one chip, where dispatch latency dominates).
         """
         if not assignments:
             return []
+        if self.zk and zk_seeds is None:
+            import secrets
+            zk_seeds = [secrets.token_bytes(CHACHA_SEED_BYTES)
+                        for _ in assignments]
         be = self.backend
         L = self.field.num_limbs
-        per_proof = 4 * self.m * self.n * L * 4
+        per_proof = self.num_rows * self.n * L * 4
         sub_max = max(1, Backend.MAX_DEVICE_BYTES // per_proof)
-        if (self.zk or getattr(be, "mesh", None) is not None
+        if (getattr(be, "mesh", None) is not None
                 or sub_max == 1 or not be.use_jax):
+            if self.zk:
+                return [self.prove(a, sponge.clone(), zk_seed=s)
+                        for a, s in zip(assignments, zk_seeds)]
             return [self.prove(a, sponge.clone()) for a in assignments]
         out: list[LigeroProof] = []
         for i in range(0, len(assignments), sub_max):
-            out.extend(self._prove_batch_inner(
-                assignments[i:i + sub_max], sponge))
+            if self.zk:
+                out.extend(self._prove_batch_inner_zk(
+                    assignments[i:i + sub_max], sponge,
+                    zk_seeds[i:i + sub_max]))
+            else:
+                out.extend(self._prove_batch_inner(
+                    assignments[i:i + sub_max], sponge))
         return out
 
     def _prove_batch_inner(self, assignments, sponge) -> list[LigeroProof]:
@@ -561,6 +576,147 @@ class LigeroCircuit:
 
         return [LigeroProof(trees[b].root, inter[b], linear[b], quad[b])
                 for b in range(B)]
+
+    def _prove_batch_inner_zk(self, assignments, sponge,
+                              zk_seeds) -> list[LigeroProof]:
+        """zk form of :meth:`_prove_batch_inner`: the per-proof blinding
+        and mask rows (see :meth:`_prove_inner_zk`) are host work, so the
+        bulk device ops batch exactly like the non-zk path — one
+        n-point encode of all B*(4m+3) blinded rows, one batched commit,
+        one batched interleaved combination, batched opening gathers.
+        Proofs are byte-identical to sequential ``prove(a, sponge.clone(),
+        zk_seed=s)`` calls (tested)."""
+        import hashlib
+
+        be, field = self.backend, self.field
+        m, k, n, b = self.m, self.k, self.n, self.blind_t
+        L, p = field.num_limbs, field.p
+        d2, num_rows = self.d2, self.num_rows
+        B = len(assignments)
+        sponges = [sponge.clone() for _ in range(B)]
+        hostfk = self._host_fk()
+
+        with phase_timer.phase("witness+preenc"):
+            bumped = [[(self._bump_index(i), v) for i, v in a]
+                      for a in assignments]
+            preencs = np.stack([self._build_preenc(w) for w in bumped])
+
+        with phase_timer.phase("zk_blind"):
+            msg_coeffs = be.to_numpy(be.intt(np.ascontiguousarray(
+                preencs.reshape(B * 4 * m, k, L)), k)).reshape(B, 4 * m, k, L)
+            coeffs_all = np.zeros((B, 4 * m, k + b, L), np.uint32)
+            rows_all = np.zeros((B, num_rows, d2, L), np.uint32)
+            mask0s, maskqs, maskps = [], [], []
+            for i, zk_seed in enumerate(zk_seeds):
+                def sub_seed(tag: bytes) -> bytes:
+                    return hashlib.blake2s(zk_seed + tag).digest()
+
+                s = rand_field_elements_limbs(
+                    field, 4 * m * b, sub_seed(b"rows")).reshape(4 * m, b, L)
+                coeffs_all[i, :, :k] = msg_coeffs[i]
+                coeffs_all[i, :, k:] = s
+                coeffs_all[i, :, :b] = hostfk.sub(coeffs_all[i, :, :b], s)
+
+                mask0 = rand_field_elements(field, k + b, sub_seed(b"mask0"))
+                maskq = rand_field_elements(field, 2 * k + b - 1,
+                                            sub_seed(b"maskq"))
+                maskq[0] = (-sum(maskq[j]
+                                 for j in range(k, len(maskq), k))) % p
+                rho = rand_field_elements(field, k + 2 * b - 1,
+                                          sub_seed(b"maskp"))
+                maskp = [0] * (2 * (k + b) - 1)
+                for j, rv in enumerate(rho):
+                    maskp[j + k] = (maskp[j + k] + rv) % p
+                    maskp[j] = (maskp[j] - rv) % p
+                mask0s.append(mask0)
+                maskqs.append(maskq)
+                maskps.append(maskp)
+
+                rows_all[i, :4 * m, :k + b] = coeffs_all[i]
+                rows_all[i, 4 * m, :k + b] = field.ints_to_mont_limbs(mask0)
+                rows_all[i, 4 * m + 1, :2 * k + b - 1] = \
+                    field.ints_to_mont_limbs(maskq)
+                rows_all[i, 4 * m + 2, :2 * (k + b) - 1] = \
+                    field.ints_to_mont_limbs(maskp)
+
+        with phase_timer.phase("rs_encode"):
+            u_canon = be.ntt_and_canon(np.ascontiguousarray(
+                rows_all.reshape(B * num_rows, d2, L)), n)
+
+        with phase_timer.phase("commit"):
+            trees = [MerkleTree(lv, inner_levels=il) for lv, il in
+                     be.commit_columns_batch(u_canon, B)]
+
+        def open_batch(idx_rows: list[list[int]]):
+            idx = np.asarray(idx_rows, dtype=np.int64)
+            cols4 = be.gather_columns_batch(u_canon, idx)
+            res = []
+            for i in range(B):
+                columns = [field.limbs_to_ints(cols4[i, :, j, :])
+                           for j in range(idx.shape[1])]
+                paths = [trees[i].generate_proof(j) for j in idx_rows[i]]
+                res.append((columns, paths))
+            return res
+
+        with phase_timer.phase("interleaved"):
+            rs = []
+            for i in range(B):
+                sponges[i].absorb_bytes(trees[i].root)         # FS #1
+                seed_r = sponges[i].squeeze_bytes(CHACHA_SEED_BYTES)  # FS #2
+                rs.append(self._expand_field(4 * m, seed_r))
+            lcs = be.to_numpy(be.row_combine_batch(np.stack(rs), coeffs_all))
+            lc_ints, idx1 = [], []
+            for i in range(B):
+                lc = hostfk.add(lcs[i], field.ints_to_mont_limbs(mask0s[i]))
+                lc_i = field.mont_limbs_to_ints(lc)
+                lc_ints.append(lc_i)
+                sponges[i].absorb_field_elems(lc_i)            # FS #3
+                idx1.append(self._sample_indices(
+                    sponges[i].squeeze_bytes(CHACHA_SEED_BYTES)))  # FS #4
+            opened1 = open_batch(idx1)
+            inter = [InterleavedProof(lc_ints[i], *opened1[i])
+                     for i in range(B)]
+
+        with phase_timer.phase("linear"):
+            qs, idx2 = [], []
+            for i in range(B):
+                seed = sponges[i].squeeze_bytes(CHACHA_SEED_BYTES)  # FS #5
+                r_coeffs = self._r_a_coeff_rows(seed)
+                q_mont = be.linear_combination_poly(coeffs_all[i], r_coeffs,
+                                                    d2)
+                q_data = be.canon_limbs_to_ints(be.from_mont(q_mont))
+                maskq = maskqs[i]
+                q = _trim([(a + (maskq[j] if j < len(maskq) else 0)) % p
+                           for j, a in enumerate(q_data)])
+                qs.append(q)
+                sponges[i].absorb_field_elems(q)               # FS #6
+                idx2.append(self._sample_indices(
+                    sponges[i].squeeze_bytes(CHACHA_SEED_BYTES)))  # FS #7
+            opened2 = open_batch(idx2)
+            linear = [LinearConstraintsProof(qs[i], *opened2[i])
+                      for i in range(B)]
+
+        with phase_timer.phase("quadratic"):
+            p0s, idx3 = [], []
+            for i in range(B):
+                seed = sponges[i].squeeze_bytes(CHACHA_SEED_BYTES)  # FS #8
+                r_quad = self._expand_field(m, seed)
+                p0_mont = be.quadratic_combination_poly(
+                    coeffs_all[i][:3 * m], be.asarray(r_quad), d2)
+                p0_data = be.canon_limbs_to_ints(be.from_mont(p0_mont))
+                maskp = maskps[i]
+                p0 = _trim([(a + (maskp[j] if j < len(maskp) else 0)) % p
+                            for j, a in enumerate(p0_data)])
+                p0s.append(p0)
+                sponges[i].absorb_field_elems(p0)              # FS #9
+                idx3.append(self._sample_indices(
+                    sponges[i].squeeze_bytes(CHACHA_SEED_BYTES)))  # FS #10
+            opened3 = open_batch(idx3)
+            quad = [QuadraticConstraintsProof(p0s[i], *opened3[i])
+                    for i in range(B)]
+
+        return [LigeroProof(trees[i].root, inter[i], linear[i], quad[i])
+                for i in range(B)]
 
     def _solution_vectors(self, var_assignment):
         trace = self.circuit.evaluation_trace_multioutput(var_assignment, self.outputs)

@@ -73,3 +73,38 @@ def test_batch_numpy_backend_falls_back():
 def test_batch_empty():
     lig = _instance()
     assert lig.prove_batch([], test_sponge(F)) == []
+
+
+def _zk_instance(backend):
+    # small lambda keeps t (and so the 3t blinding) small enough that
+    # the zk width constraints fit the toy instance (see tests/test_zk.py)
+    from ligero_tpu.synthetic import generate_random_circuit
+    c, outputs, vars_ = generate_random_circuit(F, 96, num_vars=4, seed=3)
+    return LigeroCircuit(c, outputs, lambda_=10, backend=backend,
+                         zk=True), vars_
+
+
+def test_zk_batch_matches_sequential():
+    """zk batch: pinned per-proof seeds -> byte-identical to sequential
+    zk proves with the same seeds; all verify.  (Same witness thrice —
+    the synthetic circuit has one valid assignment — but distinct zk
+    seeds, so the three proofs differ.)"""
+    lig, vars_ = _zk_instance(Backend(F, use_jax=True))
+    sp = test_sponge(F)
+    assignments = [vars_] * 3
+    seeds = [bytes([i + 1]) * 32 for i in range(3)]
+    proofs = lig.prove_batch(assignments, sp, zk_seeds=seeds)
+    for a, s, pr in zip(assignments, seeds, proofs):
+        seq = lig.prove(a, sp.clone(), zk_seed=s)
+        assert pr.to_bytes(F) == seq.to_bytes(F)
+        assert lig.verify(pr, sp.clone())
+
+
+def test_zk_batch_fresh_seeds_differ():
+    """Default zk batch draws fresh seeds: same witness, distinct proofs,
+    both verifying."""
+    lig, vars_ = _zk_instance(Backend(F, use_jax=True))
+    sp = test_sponge(F)
+    p1, p2 = lig.prove_batch([vars_, vars_], sp)
+    assert p1.to_bytes(F) != p2.to_bytes(F)
+    assert lig.verify(p1, sp.clone()) and lig.verify(p2, sp.clone())
