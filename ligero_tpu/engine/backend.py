@@ -440,7 +440,7 @@ class Backend:
             if r < chunk:
                 blk = np.concatenate(
                     [blk, np.zeros((chunk - r, w, L), blk.dtype)])
-            chunks.append(self.asarray(blk.astype(np.uint16)))
+            chunks.append(self.asarray(blk.astype(np.uint16, copy=False)))
         return RowChunkedMatrix(chunks, rows, chunk)
 
     def commit_columns_streaming(self, sc: StreamedCodewords):

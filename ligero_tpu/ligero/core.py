@@ -819,16 +819,18 @@ class LigeroCircuit:
 
         mk = self.m * self.k
         sel, is_mul = c["sel"], c["is_mul"]
-        x = np.zeros((mk, nl), dtype=np.uint64)
-        y = np.zeros((mk, nl), dtype=np.uint64)
-        z = np.zeros((mk, nl), dtype=np.uint64)
-        w = np.zeros((mk, nl), dtype=np.uint64)
+        # one allocation for the whole 4mk x nl Montgomery matrix; x/y/z/w
+        # are slice views filled in place (no concatenate copy)
+        stacked = np.zeros((4 * mk, nl), dtype=np.uint64)
+        x, y, z, w = (stacked[i * mk:(i + 1) * mk] for i in range(4))
         w[:len(sel)] = vals[sel]
         x[:len(sel)][is_mul] = vals[c["mul_left"][is_mul]]
         y[:len(sel)][is_mul] = vals[c["mul_right"][is_mul]]
         z[:len(sel)][is_mul] = vals[sel[is_mul]]
-        stacked = np.concatenate([x, y, z, w], axis=0)  # (4mk, nl) Montgomery
-        limbs16 = native.u64_to_u16_limbs(stacked, self.field.num_limbs)
+        # zero-copy uint16 limb view: the 190 MB uint32 widening this
+        # replaces dominated the witness phase at 2^19+ (the jax consumers
+        # widen on-device via _jit16, halving the upload bytes too)
+        limbs16 = native.u64_to_u16_view(stacked, self.field.num_limbs)
         return limbs16.reshape(4 * self.m, self.k, self.field.num_limbs)
 
     def _prove_inner(self, var_assignment, sponge,
@@ -895,7 +897,7 @@ class LigeroCircuit:
             # single u16 upload of preenc, reused by the interleaved-phase
             # row combination (saves a second ~50-135 MB tunnel transfer)
             with phase_timer.phase("wit.upload"):
-                preenc_dev = be.asarray(preenc.astype(np.uint16))
+                preenc_dev = be.asarray(preenc.astype(np.uint16, copy=False))
             self._preenc_dev = preenc_dev
             self._encode_mode = "resident"
             return be.rs_encode_resident(preenc_dev, k, n)
@@ -917,7 +919,7 @@ class LigeroCircuit:
             rows = block.shape[0]
             if rows < chunk:
                 block = np.concatenate(
-                    [block, np.zeros((chunk - rows, k, L), np.uint32)])
+                    [block, np.zeros((chunk - rows, k, L), block.dtype)])
             c, uc = be.rs_encode_and_canon(block, k, n)
             u_coeffs[i:i + rows] = be.to_numpy(c)[:rows]
             u_canon[i:i + rows] = be.to_numpy(uc)[:rows]
@@ -945,7 +947,7 @@ class LigeroCircuit:
             r = blk.shape[0]
             if r < chunk:
                 blk = np.concatenate(
-                    [blk, np.zeros((chunk - r, k, L), np.uint32)])
+                    [blk, np.zeros((chunk - r, k, L), blk.dtype)])
             out[i:i + r] = be.to_numpy(be.intt(blk, k))[:r]
         return out
 
@@ -1093,6 +1095,9 @@ class LigeroCircuit:
         return LigeroProof(u_root, interleaved, linear, quadratic)
 
     def _build_preenc(self, var_assignment):
+        """4m x k preenc matrix as host limb arrays — uint16 (native path,
+        zero-copy view) or uint32 (fallback).  jax consumers accept either
+        (_jit16 widens on-device); numpy-backend callers must widen."""
         be = self.backend
         m, k = self.m, self.k
         if native.available():
@@ -1102,6 +1107,10 @@ class LigeroCircuit:
             x, y, z, w = self._solution_vectors(var_assignment)
             preenc_ints = x + y + z + w  # 4m rows of k
             preenc = be.ints_to_mont(preenc_ints).reshape(4 * m, k, -1)
+        if not be.use_jax:
+            # numpy FieldKernel consumers need 32-bit lanes (u16*u16
+            # products would overflow)
+            preenc = np.asarray(preenc, dtype=np.uint32)
         return preenc
 
     def _column_leaves(self, u_canon: np.ndarray) -> list[bytes]:
@@ -1182,7 +1191,8 @@ class LigeroCircuit:
                 out = native.sparse_row_mul_mont(self.field, rows, cols, vals_u64,
                                                  r_u64, four_mk)
             with phase_timer.phase("linear.limbs"):
-                r_a_limbs = native.u64_to_u16_limbs(out, self.field.num_limbs)
+                # zero-copy u16 view; _jit16 consumers widen on-device
+                r_a_limbs = native.u64_to_u16_view(out, self.field.num_limbs)
         else:
             r_linear = self._expand_field(four_mk, seed)
             r_mont_ints = self.field.limbs_to_ints(r_linear)  # raw = Montgomery
@@ -1190,6 +1200,8 @@ class LigeroCircuit:
             r_a_limbs = self.field.ints_to_limbs(r_a)
         with phase_timer.phase("linear.intt"):
             shaped = r_a_limbs.reshape(4 * self.m, self.k, -1)
+            if not be.use_jax:
+                shaped = np.asarray(shaped, dtype=np.uint32)
             if not fits_device and getattr(be, "resident_ok", False):
                 # streaming scale: r-coefficient rows stay chunk-resident,
                 # row-aligned with the streamed u_coeffs chunks
@@ -1296,11 +1308,13 @@ class LigeroCircuit:
         share one RS encode, and the B linear-phase challenge row blocks
         (4m x k each) share one batched spot-column encode
         (``ntt_columns_batch``, the verifier's dominant device op).  zk
-        mode, mesh backends, and the host-numpy engine fall back to
-        sequential verification.
+        proofs batch too (their interleaved reveal is a width-(k+3t)
+        coefficient vector, so its codeword comes from one padded NTT
+        instead of an RS encode).  Mesh backends and the host-numpy
+        engine fall back to sequential verification.
         """
         be = self.backend
-        if (len(proofs) <= 1 or self.zk
+        if (len(proofs) <= 1
                 or getattr(be, "mesh", None) is not None or not be.use_jax):
             return [self.verify(p, sponge.clone()) for p in proofs]
 
@@ -1329,8 +1343,13 @@ class LigeroCircuit:
             order = sorted(pre)
             lc_stack = np.stack(
                 [be.ints_to_mont(proofs[i].interleaved.preenc_u_lc)
-                 for i in order]).reshape(len(order), self.k, -1)
-            _, w_evals = be.rs_encode_rows(lc_stack, self.k, self.n)
+                 for i in order]).reshape(len(order), self.blind_len, -1)
+            if self.zk:
+                # zk reveals are coefficient vectors (deg < k+3t): one
+                # padded n-point NTT of all B rows (cf. _verify_interleaved)
+                w_evals = be.ntt(lc_stack, self.n)
+            else:
+                _, w_evals = be.rs_encode_rows(lc_stack, self.k, self.n)
             w_np = be.to_numpy(w_evals)
             rc_stack = np.stack([np.asarray(be.to_numpy(pre[i][0]),
                                             dtype=np.uint32) for i in order])

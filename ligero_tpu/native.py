@@ -114,6 +114,18 @@ def _ptr(a: np.ndarray, typ):
     return a.ctypes.data_as(ctypes.POINTER(typ))
 
 
+def u64_to_u16_view(a: np.ndarray, num_limbs16: int) -> np.ndarray:
+    """(N, NL) uint64 -> (N, L) uint16 view of the SAME buffer (zero copy).
+
+    LSB-first u64 limbs viewed as little-endian u16 are exactly the
+    16-bit limb order.  uint16 is a valid host limb-array dtype: jax
+    consumers widen on-device at the jit boundary (Backend._jit16),
+    which also halves the host->device transfer; numpy FieldKernel
+    consumers must widen explicitly (uint16*uint16 would overflow)."""
+    n = a.shape[0]
+    return np.ascontiguousarray(a).view("<u2").reshape(n, num_limbs16)
+
+
 def u64_to_u16_limbs(a: np.ndarray, num_limbs16: int) -> np.ndarray:
     """(N, NL) uint64 -> (N, L) uint32 16-bit limbs (same integers).
 

@@ -151,12 +151,14 @@ class ShardedBackend(Backend):
 
     # ------------------------------------------------------------------
     def _pad_rows(self, a: np.ndarray, mult: int):
+        # widen uint16 host limb views here (the sharded local fns are
+        # traced for uint32 operands; no-op for uint32 inputs)
+        a = np.asarray(a).astype(np.uint32, copy=False)
         rows = a.shape[0]
         pad = (-rows) % mult
         if pad:
             a = np.concatenate(
-                [np.asarray(a),
-                 np.zeros((pad,) + a.shape[1:], np.uint32)], axis=0)
+                [a, np.zeros((pad,) + a.shape[1:], np.uint32)], axis=0)
         return a, rows
 
     def _sharded(self, key, fn, in_specs, out_specs):
@@ -384,7 +386,7 @@ class ShardedBackend(Backend):
         import jax
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
-        host = _to_cyclic(arr.astype(np.uint16), c, self.D)
+        host = _to_cyclic(arr.astype(np.uint16, copy=False), c, self.D)
         spec = P("rows", *([None] * (host.ndim - 1)))
         # make_array_from_callback (not device_put): works when the mesh
         # spans processes (every process holds the same host value)
