@@ -90,3 +90,23 @@ def test_verify_batch_chunked(monkeypatch, setup):
 def test_verify_batch_empty(setup):
     lig, sp, _, _ = setup
     assert lig.verify_batch([], sp) == []
+
+
+def test_verify_batch_zk():
+    """zk proofs batch too: verdicts equal sequential verify, including
+    a tampered one (mask-row reveal flipped)."""
+    from ligero_tpu.synthetic import generate_random_circuit
+    c, outputs, vars_ = generate_random_circuit(F, 96, num_vars=4, seed=3)
+    lig = LigeroCircuit(c, outputs, lambda_=10, zk=True,
+                        backend=Backend(F, use_jax=True))
+    sp = test_sponge(F)
+    seeds = [bytes([i + 1]) * 32 for i in range(3)]
+    good = [lig.prove(vars_, sp.clone(), zk_seed=s) for s in seeds]
+    tampered = LigeroProof.from_bytes(good[0].to_bytes(F), F)
+    lc = list(tampered.interleaved.preenc_u_lc)
+    lc[0] = (lc[0] + 1) % F.p
+    tampered.interleaved.preenc_u_lc = lc
+    batch = [good[0], tampered, good[1], good[2]]
+    verdicts = lig.verify_batch(batch, sp)
+    seq = [lig.verify(p, sp.clone()) for p in batch]
+    assert verdicts == seq == [True, False, True, True]
