@@ -1305,9 +1305,10 @@ class LigeroCircuit:
         (tested): each proof gets its own transcript clone, and the
         per-proof checks run unchanged — only the device-heavy operands
         are precomputed in one dispatch each: the B interleaved lc rows
-        share one RS encode, and the B linear-phase challenge row blocks
-        (4m x k each) share one batched spot-column encode
-        (``ntt_columns_batch``, the verifier's dominant device op).  zk
+        share one RS encode, the 2B q/p0 polynomials share one padded
+        NTT, and the B linear-phase challenge row blocks (4m x k each)
+        share one batched spot-column encode (``ntt_columns_batch``, the
+        verifier's dominant device op).  zk
         proofs batch too (their interleaved reveal is a width-(k+3t)
         coefficient vector, so its codeword comes from one padded NTT
         instead of an RS encode).  Mesh backends and the host-numpy
@@ -1339,6 +1340,8 @@ class LigeroCircuit:
         # pass 2: one fused dispatch per heavy op across all live proofs
         ws: dict[int, list[int]] = {}
         revals: dict[int, np.ndarray] = {}
+        qevs: dict[int, list[int]] = {}
+        pevs: dict[int, list[int]] = {}
         if pre:
             order = sorted(pre)
             lc_stack = np.stack(
@@ -1351,6 +1354,19 @@ class LigeroCircuit:
             else:
                 _, w_evals = be.rs_encode_rows(lc_stack, self.k, self.n)
             w_np = be.to_numpy(w_evals)
+            # q and p0 are proof data (no FS dependency): one padded NTT
+            # of all 2B polynomial rows replaces 2B separate dispatches
+            d2 = self.d2
+
+            def _padded(poly):
+                return be.ints_to_mont(
+                    list(poly[:d2]) + [0] * max(0, d2 - len(poly)))
+
+            qp_stack = np.stack(
+                [_padded(proofs[i].linear.polynomial) for i in order]
+                + [_padded(proofs[i].quadratic.polynomial) for i in order]
+            ).reshape(2 * len(order), d2, -1)
+            qp_np = be.to_numpy(be.ntt(qp_stack, self.n))
             rc_stack = np.stack([np.asarray(be.to_numpy(pre[i][0]),
                                             dtype=np.uint32) for i in order])
             js_stack = np.asarray([pre[i][1] for i in order], np.int32)
@@ -1359,6 +1375,8 @@ class LigeroCircuit:
             for j, i in enumerate(order):
                 ws[i] = be.mont_to_ints(w_np[j])
                 revals[i] = cols[j]
+                qevs[i] = be.mont_to_ints(qp_np[j])
+                pevs[i] = be.mont_to_ints(qp_np[len(order) + j])
 
         # pass 3: the normal staged verification, heavy values injected
         out: list[bool] = []
@@ -1370,9 +1388,11 @@ class LigeroCircuit:
             sp.absorb_bytes(p.u_root)                            # FS #1
             ok = self._verify_interleaved(p.interleaved, p.u_root, sp,
                                           _w=ws[i])
-            ok = ok and self._verify_linear(p.linear, p.u_root, sp,
-                                            _pre=(pre[i][0], revals[i]))
-            ok = ok and self._verify_quadratic(p.quadratic, p.u_root, sp)
+            ok = ok and self._verify_linear(
+                p.linear, p.u_root, sp,
+                _pre=(pre[i][0], revals[i], qevs[i]))
+            ok = ok and self._verify_quadratic(p.quadratic, p.u_root, sp,
+                                               _p0_evals=pevs[i])
             out.append(bool(ok))
         return out
 
@@ -1471,8 +1491,9 @@ class LigeroCircuit:
                        _pre=None) -> bool:
         be, p, k = self.backend, self.field.p, self.k
         seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)         # FS #5
-        # _pre = (r_coeffs, r_evals_cols) precomputed by verify_batch
-        # from this proof's replayed transcript (seed values identical)
+        # _pre = (r_coeffs, r_evals_cols, q_evals) precomputed by
+        # verify_batch from this proof's replayed transcript / proof data
+        # (identical values)
         r_coeffs = _pre[0] if _pre is not None else self._r_a_coeff_rows(seed)
 
         # d2 = 2k (non-zk, the reference's domain) or next_pow2(2(k+3t))
@@ -1485,8 +1506,13 @@ class LigeroCircuit:
         # column's q(omega^j) — identical values to the reference's
         # 2k-grid + per-point Horner evaluation (mod.rs:787-805), without
         # t host big-int Horner loops
-        q_limbs = be.ints_to_mont(proof.polynomial + [0] * (d2 - len(proof.polynomial)))
-        q_evals = be.mont_to_ints(be.ntt(q_limbs.reshape(1, d2, -1), self.n)[0])
+        if _pre is not None:
+            q_evals = _pre[2]
+        else:
+            q_limbs = be.ints_to_mont(
+                proof.polynomial + [0] * (d2 - len(proof.polynomial)))
+            q_evals = be.mont_to_ints(
+                be.ntt(q_limbs.reshape(1, d2, -1), self.n)[0])
         if sum(q_evals[0::self.n // k]) % p != 0:
             return False
 
@@ -1524,7 +1550,8 @@ class LigeroCircuit:
                 return False
         return True
 
-    def _verify_quadratic(self, proof: QuadraticConstraintsProof, u_root, sponge) -> bool:
+    def _verify_quadratic(self, proof: QuadraticConstraintsProof, u_root,
+                          sponge, _p0_evals=None) -> bool:
         be, p, k, m = self.backend, self.field.p, self.k, self.m
         seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)         # FS #8
         r_quad_limbs = self._expand_field(m, seed)
@@ -1534,8 +1561,13 @@ class LigeroCircuit:
             return False
         # single n-point NTT: small-domain vanishing + per-column values
         # (same trick as _verify_linear; identical ints to Horner)
-        p0_limbs = be.ints_to_mont(proof.polynomial + [0] * (d2 - len(proof.polynomial)))
-        p0_evals = be.mont_to_ints(be.ntt(p0_limbs.reshape(1, d2, -1), self.n)[0])
+        if _p0_evals is not None:
+            p0_evals = _p0_evals
+        else:
+            p0_limbs = be.ints_to_mont(
+                proof.polynomial + [0] * (d2 - len(proof.polynomial)))
+            p0_evals = be.mont_to_ints(
+                be.ntt(p0_limbs.reshape(1, d2, -1), self.n)[0])
         if any(p0_evals[(self.n // k) * c] != 0 for c in range(k)):
             return False
 
