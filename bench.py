@@ -134,7 +134,8 @@ def _attach_recorded(result: dict) -> None:
     scripts/bench_configs.py and scripts/at_scale.py on this hardware)
     so the one-line JSON carries proofs/s + per-phase breakdowns."""
     here = os.path.dirname(os.path.abspath(__file__))
-    for key, names in (("fixtures", ("bench_configs.json",)),
+    for key, names in (("last_tpu_headline", ("bench_tpu_last.json",)),
+                       ("fixtures", ("bench_configs.json",)),
                        ("at_scale", ("atscale_r2e.json", "atscale_r2d.json",
                                      "atscale_r2c.json", "atscale_r2b.json",
                                      "atscale_r2.json",
@@ -206,6 +207,26 @@ def main():
                    "compile_s": round(compile_s, 1), "canary": canary},
     }
     _attach_recorded(result)
+    if platform != "cpu":
+        # refresh the recorded TPU headline so a later down-tunnel
+        # collection still carries the most recent real-chip number
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "bench_tpu_last.json"), "w") as f:
+                json.dump({
+                    "note": ("last bench.py headline measured on the real "
+                             "TPU chip (recorded so a transiently-down "
+                             "tunnel at collection time does not lose the "
+                             "TPU number)"),
+                    "measured_utc": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                    "metric": result["metric"], "value": result["value"],
+                    "unit": result["unit"],
+                    "vs_baseline": result["vs_baseline"],
+                    "config": result["config"]}, f, indent=2)
+        except OSError:
+            pass
+        result.pop("last_tpu_headline", None)
     print(json.dumps(result))
 
 
