@@ -205,9 +205,20 @@ class FieldKernel:
 
         acc0 = xp.zeros(batch + (2 * L,), np.uint32)
         acc, _ = self._scan(prod_body, acc0, a_scan)
+        return self._redc_finish(acc)
 
-        # Phase 2 — 16-bit interleaved REDC; the frame shifts left one limb
-        # per step so the "current" column is always column 0.
+    def _redc_finish(self, acc):
+        """(..., 2L) product columns -> normalized reduced (..., L) limbs:
+        the 16-bit interleaved REDC phase + carry normalize + cond-sub-p
+        (shared by mont_mul and the product-free from_mont)."""
+        xp = self.xp
+        L = self.L
+        batch = acc.shape[:-1]
+        zeros_col = xp.zeros(batch + (1,), np.uint32)
+        zeros_lm1 = xp.zeros(batch + (L - 1,), np.uint32)
+
+        # the frame shifts left one limb per step so the "current" column
+        # is always column 0
         def redc_body(state, _x):
             acc, carry = state
             v = acc[..., 0] + carry
@@ -235,11 +246,41 @@ class FieldKernel:
         return self.mont_mul(a, a)
 
     def from_mont(self, a):
-        """Montgomery -> canonical: REDC(a * 1)."""
+        """Montgomery -> canonical: REDC(a).
+
+        REDC(a*1)'s product phase just lays a into the low L columns
+        (Horner over MSB-first limbs of a times [1,0,...]), so it is
+        skipped entirely — from_mont is the REDC phase alone (~40% fewer
+        scan steps than mont_mul; bit-identical results, tested)."""
         xp = self.xp
-        one = np.zeros(self.L, dtype=np.uint32)
-        one[0] = 1
-        return self.mont_mul(a, xp.asarray(one))
+        L = self.L
+        shape = a.shape
+        batch_elems = 1
+        for d in shape[:-1]:
+            batch_elems *= d
+        if self._is_jax and batch_elems > self.MAX_BATCH_ELEMS:
+            # same validated-regime chunking as mont_mul
+            import jax
+            chunk = self.MAX_BATCH_ELEMS
+            fa = a.reshape(-1, L)
+            pad = (-batch_elems) % chunk
+            if pad:
+                fa = xp.concatenate(
+                    [fa, xp.zeros((pad, L), np.uint32)], axis=0)
+            nchunks = (batch_elems + pad) // chunk
+            out = jax.lax.map(self._from_mont_impl,
+                              fa.reshape(nchunks, chunk, L))
+            out = out.reshape(-1, L)
+            if pad:
+                out = out[:batch_elems]
+            return out.reshape(shape)
+        return self._from_mont_impl(a)
+
+    def _from_mont_impl(self, a):
+        xp = self.xp
+        acc = xp.concatenate(
+            [a, xp.zeros(a.shape[:-1] + (self.L,), np.uint32)], axis=-1)
+        return self._redc_finish(acc)
 
     def to_mont(self, a):
         """canonical -> Montgomery: REDC(a * R^2)."""

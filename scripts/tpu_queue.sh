@@ -42,4 +42,10 @@ run mxu 3600 python scripts/bench_mxu_ntt.py
 # 5. fresh headline bench
 run bench 7200 python bench.py
 
+# 6. 2^20 (BASELINE config #5) revalidation with the zero-copy witness
+#    path + REDC-only from_mont (longest step; last so earlier results
+#    survive a tunnel drop)
+run atscale20 10800 python scripts/at_scale.py --sizes 20 --no-canary \
+  --out atscale_r2g.json
+
 echo "=== [$(stamp)] queue complete" | tee -a "$LOG/queue.log"

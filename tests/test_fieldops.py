@@ -162,3 +162,28 @@ def test_jax_mont_mul_chunked_path():
         assert np.array_equal(got, fk_np.mont_mul(r[:, None, :], m))
     finally:
         FieldKernel.MAX_BATCH_ELEMS = old
+
+
+def test_from_mont_is_redc_of_mul_by_one():
+    """from_mont's product-free REDC path == mont_mul(a, one) bitwise
+    (both engines + the chunked jax path)."""
+    import jax
+    import jax.numpy as jnp
+    F = BN254_FR
+    fk_np = FieldKernel(F, np)
+    fk_jx = FieldKernel(F, jnp)
+    rng = np.random.default_rng(7)
+    a = F.ints_to_mont_limbs([int(x) for x in rng.integers(0, 2**63, 300)])
+    one = np.zeros((F.num_limbs,), np.uint32)
+    one[0] = 1
+    want = fk_np.mont_mul(a, one)
+    assert np.array_equal(want, fk_np.from_mont(a))
+    assert np.array_equal(want, np.asarray(jax.jit(fk_jx.from_mont)(
+        jnp.asarray(a))))
+    old = FieldKernel.MAX_BATCH_ELEMS
+    FieldKernel.MAX_BATCH_ELEMS = 64
+    try:
+        assert np.array_equal(
+            want, np.asarray(FieldKernel(F, jnp).from_mont(jnp.asarray(a))))
+    finally:
+        FieldKernel.MAX_BATCH_ELEMS = old
