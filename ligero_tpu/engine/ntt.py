@@ -81,7 +81,9 @@ class NTTPlan:
             xr = x.reshape(lead + (n // m, m, L))
             lo = xr[..., :half, :]
             hi = xr[..., half:, :]
-            t = fk.mont_mul(hi, tw)
+            # stage 0's twiddle table is [1]: mont_mul by the Montgomery
+            # one is the exact identity on normalized limbs — skip it
+            t = hi if s == 0 else fk.mont_mul(hi, tw)
             x = xp.concatenate([fk.add(lo, t), fk.sub(lo, t)], axis=-2)
             x = x.reshape(lead + (n, L))
             if fk.unroll and fk._is_jax:
