@@ -52,27 +52,51 @@ def _normalize_row(row: list[tuple[int, int]], p: int) -> list[tuple[int, int]]:
 
 
 def parse_r1cs(path: str, field: FieldSpec) -> ConstraintSystem:
-    """Parse an iden3 ``.r1cs`` binary file."""
+    """Parse an iden3 ``.r1cs`` binary file.
+
+    Rejecting parser for untrusted files (the CLI and the HTTP service
+    feed it user paths): every malformation — bad magic, truncation,
+    wrong prime, absurd counts — raises ``ValueError``."""
     with open(path, "rb") as f:
         data = f.read()
+    try:
+        return _parse_r1cs_inner(data, field)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError) as e:
+        raise ValueError(f"malformed r1cs file: {e}") from e
 
-    assert data[:4] == b"r1cs", "bad r1cs magic"
+
+def _parse_r1cs_inner(data: bytes, field: FieldSpec) -> ConstraintSystem:
+    def require(cond: bool, msg: str) -> None:
+        if not cond:
+            raise ValueError(f"malformed r1cs file: {msg}")
+
+    require(data[:4] == b"r1cs", "bad r1cs magic")
     version, n_sections = struct.unpack_from("<II", data, 4)
-    assert version == 1
+    require(version == 1, f"unsupported r1cs version {version}")
+    require(n_sections <= 64, "absurd section count")
 
     sections: dict[int, tuple[int, int]] = {}
     off = 12
     for _ in range(n_sections):
+        require(off + 12 <= len(data), "truncated section header")
         sec_type, = struct.unpack_from("<I", data, off)
         size, = struct.unpack_from("<Q", data, off + 4)
+        require(off + 12 + size <= len(data), "section exceeds file size")
         sections[sec_type] = (off + 12, size)
         off += 12 + size
+    require(1 in sections and 2 in sections,
+            "missing header or constraints section")
 
     # header
-    h_off, _ = sections[1]
+    h_off, h_size = sections[1]
+    require(h_size >= 4, "truncated header section")
     fs, = struct.unpack_from("<I", data, h_off)
+    require(4 + fs + 16 + 8 + 4 <= h_size, "truncated header section")
     prime = int.from_bytes(data[h_off + 4:h_off + 4 + fs], "little")
-    assert prime == field.p, f"r1cs prime does not match field {field.name}"
+    require(prime == field.p,
+            f"r1cs prime does not match field {field.name}")
     o = h_off + 4 + fs
     n_wires, n_pub_out, n_pub_in, _n_prv_in = struct.unpack_from("<IIII", data, o)
     # n_labels: u64, n_constraints: u32
@@ -80,19 +104,24 @@ def parse_r1cs(path: str, field: FieldSpec) -> ConstraintSystem:
 
     num_instance = 1 + n_pub_out + n_pub_in
     num_witness = n_wires - num_instance
+    require(num_witness >= 0, "wire counts inconsistent")
 
     # constraints
-    c_off, _ = sections[2]
-    pos = c_off
+    c_off, c_size = sections[2]
+    pos, c_end = c_off, c_off + c_size
     a_rows, b_rows, c_rows = [], [], []
     for _ in range(n_constraints):
         lcs = []
         for _ in range(3):
+            require(pos + 4 <= c_end, "truncated constraints section")
             n_terms, = struct.unpack_from("<I", data, pos)
             pos += 4
+            require(pos + n_terms * (4 + fs) <= c_end,
+                    "truncated constraints section")
             terms = []
             for _ in range(n_terms):
                 wire, = struct.unpack_from("<I", data, pos)
+                require(wire < n_wires, "term wire id out of range")
                 coeff = int.from_bytes(data[pos + 4:pos + 4 + fs], "little")
                 pos += 4 + fs
                 terms.append((coeff, wire))
