@@ -140,24 +140,36 @@ def load_witness_json(path: str, field: FieldSpec) -> list[int]:
 
 
 def load_witness_wtns(path: str, field: FieldSpec) -> list[int]:
-    """Parse an iden3 binary ``.wtns`` witness file."""
+    """Parse an iden3 binary ``.wtns`` witness file (rejecting parser:
+    malformed untrusted files raise ``ValueError``)."""
+    def require(cond: bool, msg: str) -> None:
+        if not cond:
+            raise ValueError(f"malformed wtns file: {msg}")
+
     with open(path, "rb") as f:
         data = f.read()
-    assert data[:4] == b"wtns", "bad wtns magic"
+    require(data[:4] == b"wtns", "bad wtns magic")
+    require(len(data) >= 12, "truncated wtns header")
     _version, n_sections = struct.unpack_from("<II", data, 4)
+    require(n_sections <= 64, "absurd section count")
     off = 12
     out: list[int] = []
     fs = None
     for _ in range(n_sections):
+        require(off + 12 <= len(data), "truncated section header")
         sec_type, = struct.unpack_from("<I", data, off)
         size, = struct.unpack_from("<Q", data, off + 4)
+        require(off + 12 + size <= len(data), "section exceeds file size")
         body = off + 12
         if sec_type == 1:
+            require(size >= 4, "truncated wtns header section")
             fs, = struct.unpack_from("<I", data, body)
+            require(4 + fs <= size, "truncated wtns header section")
             prime = int.from_bytes(data[body + 4:body + 4 + fs], "little")
-            assert prime == field.p, "wtns prime mismatch"
+            require(prime == field.p, "wtns prime mismatch")
         elif sec_type == 2:
-            assert fs is not None, "wtns data section before header"
+            require(fs is not None and fs > 0,
+                    "wtns data section before header")
             n = size // fs
             out = [int.from_bytes(data[body + i * fs:body + (i + 1) * fs], "little")
                    for i in range(n)]
@@ -171,9 +183,22 @@ def compute_witness_wasm(wasm_path: str, inputs: dict, field: FieldSpec) -> list
     ``inputs``: signal name -> int or list of ints (circom input.json
     semantics).  Validated against the reference's checked-in poseidon
     witness (tests/test_witness_wasm.py).
+
+    Untrusted-input boundary (CLI / HTTP service): a malformed or
+    non-circom wasm raises ``ValueError`` (never a bare
+    AssertionError / IndexError / KeyError from the interpreter).
     """
     from .witness import compute_witness
-    return compute_witness(wasm_path, inputs, field)
+    try:
+        return compute_witness(wasm_path, inputs, field)
+    except ValueError:
+        raise
+    except (AssertionError, IndexError, KeyError, struct.error,
+            ZeroDivisionError, TypeError, OverflowError,
+            RecursionError) as e:
+        raise ValueError(
+            f"malformed or unsupported witness wasm: "
+            f"{type(e).__name__}: {e}") from e
 
 
 def read_constraint_system(r1cs_path: str, field: FieldSpec,

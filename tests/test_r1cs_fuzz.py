@@ -61,3 +61,35 @@ def test_goldens_still_parse():
     assert parse_r1cs(
         "/root/reference/circom/poseidon/poseidon.r1cs", F
     ).num_constraints == 261
+
+
+def test_wasm_witness_malformed_raises_valueerror(tmp_path):
+    """compute_witness_wasm wraps interpreter failures in ValueError
+    (untrusted-input boundary for the CLI / HTTP service)."""
+    from ligero_tpu.circuit.r1cs import compute_witness_wasm
+    good = open("/root/reference/circom/multiplication.wasm", "rb").read()
+    rng = random.Random(4)
+    mangles = [b"", b"XXXX" + good[4:], good[:50],
+               bytes(random.Random(3).randbytes(300))]
+    for _ in range(25):
+        b = bytearray(good)
+        b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        mangles.append(bytes(b))
+    for data in mangles:
+        p = tmp_path / "w.wasm"
+        p.write_bytes(data)
+        try:
+            w = compute_witness_wasm(str(p), {"s1": 3, "s2": 5}, F)
+            assert w[0] == 1  # benign flip: must still be a real witness
+        except ValueError:
+            pass
+
+
+def test_wtns_malformed_raises_valueerror(tmp_path):
+    from ligero_tpu.circuit.r1cs import load_witness_wtns
+    for data in (b"", b"XXXX", b"wtns" + b"\x00" * 4,
+                 b"wtns" + struct.pack("<II", 2, 1) + b"\x01" * 6):
+        p = tmp_path / "w.wtns"
+        p.write_bytes(data)
+        with pytest.raises(ValueError):
+            load_witness_wtns(str(p), F)
