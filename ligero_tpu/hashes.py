@@ -9,7 +9,7 @@ Merkle inner nodes are SHA-256 of the 64-byte concatenation of the two
 child digests.
 
 The host path uses ``hashlib`` (golden reference); the device path in
-:mod:`ligero_tpu.engine.hash_jax` computes identical digests with
+:mod:`ligero_tpu.engine.hashops` computes identical digests with
 vectorised uint32 arithmetic.
 """
 
