@@ -13,15 +13,40 @@ XLA device work captured with the standard JAX profiler:
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from collections import defaultdict
 
 
 class PhaseTimer:
+    """Wall-clock accumulator per named phase.
+
+    ``sync`` mode (``phase_timer.sync = True``, or env
+    ``LIGERO_PHASE_SYNC=1``): blocks on all outstanding device work at
+    every phase EXIT, so async-dispatched device time is billed to the
+    phase that *issued* it instead of whichever later phase happens to
+    block.  Totals are unchanged; attribution becomes faithful.  Costs
+    pipeline overlap, so keep it off for headline numbers and on for
+    attack-list attribution (VERDICT r2 "what's weak" #6).
+    """
+
     def __init__(self):
         self.totals: dict[str, float] = defaultdict(float)
         self.counts: dict[str, int] = defaultdict(int)
         self.enabled = False
+        self.sync = os.environ.get("LIGERO_PHASE_SYNC", "") == "1"
+
+    @staticmethod
+    def _block_on_device():
+        try:
+            import jax
+
+            # Barrier on all live arrays of the default backend: cheap
+            # (no transfer) and exact — dispatch queues are per-device.
+            jax.block_until_ready(
+                [a for a in jax.live_arrays() if not a.is_deleted()])
+        except Exception:
+            pass  # no jax / exotic backend — sync degrades to plain timing
 
     @contextlib.contextmanager
     def phase(self, name: str):
@@ -32,6 +57,8 @@ class PhaseTimer:
         try:
             yield
         finally:
+            if self.sync:
+                self._block_on_device()
             self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1
 

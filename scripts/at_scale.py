@@ -198,6 +198,10 @@ def main():
     ap.add_argument("--no-canary", action="store_true")
     ap.add_argument("--zk", action="store_true",
                     help="zk mode (blinded rows + mask commitments)")
+    ap.add_argument("--phase-sync", action="store_true",
+                    help="block on device work at every phase exit so "
+                         "async-dispatched time is billed to the issuing "
+                         "phase (faithful attribution; costs overlap)")
     ap.add_argument("--budget-gb", type=float, default=None,
                     help="override LIGERO_RESIDENT_BUDGET_GB (small values "
                          "force the streaming commit: U never materialized)")
@@ -214,10 +218,13 @@ def main():
 
     from ligero_tpu.utils import jaxcache
     jaxcache.enable()
+    if args.phase_sync:
+        from ligero_tpu.utils.profiling import phase_timer
+        phase_timer.sync = True
     platform = jax.devices()[0].platform
     log(f"platform: {platform} ({jax.devices()})")
 
-    results = {"platform": platform}
+    results = {"platform": platform, "phase_sync": bool(args.phase_sync)}
     if not args.no_canary:
         results.update(corruption_canary())
     results["runs"] = []

@@ -60,3 +60,32 @@ def test_prover_phases_timed():
         phase_timer.enabled = False
     assert {"witness+preenc", "rs_encode", "commit"} <= set(phase_timer.totals)
     phase_timer.reset()
+
+
+def test_phase_sync_mode_blocks_device_work():
+    """sync=True bills async device time to the issuing phase: a phase
+    that only ENQUEUES a large device op must show non-trivial time when
+    sync is on (it blocks at phase exit), and the totals still accumulate.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: (x @ x).sum())
+    x = jnp.ones((500, 500))
+    f(x).block_until_ready()  # compile outside the timed region
+
+    phase_timer.enabled = True
+    phase_timer.sync = True
+    phase_timer.reset()
+    try:
+        with phase_timer.phase("issue"):
+            y = f(x)
+        with phase_timer.phase("drain"):
+            y.block_until_ready()
+    finally:
+        phase_timer.enabled = False
+        phase_timer.sync = False
+    assert phase_timer.totals["issue"] > 0
+    assert phase_timer.counts["issue"] == 1
+    assert phase_timer.counts["drain"] == 1
+    phase_timer.reset()
