@@ -134,10 +134,15 @@ class Backend:
 
     _mxu_ntt_enabled = __import__("os").environ.get("LIGERO_MXU_NTT") == "1"
 
-    # largest transform the full-VMEM Pallas NTT kernel supports on v5e
-    # (n=32768 would need ~130 MB of VMEM > the 128 MB core); larger
-    # transforms fall back to the XLA domain path
-    PALLAS_NTT_MAX_N = 16384
+    # largest transform routed through Pallas: up to 16384 the full-VMEM
+    # single kernel; past it the four-step composition (two sub-NTT
+    # launches around an elementwise twiddle multiply, pallas_ntt.py) —
+    # so 2^21+ circuits (n >= 32768) stay off the slow XLA domain path.
+    # LIGERO_FOURSTEP_NTT=0 restores the old XLA fallback for n > 16384.
+    PALLAS_NTT_MAX_N = (16384
+                        if __import__("os").environ.get(
+                            "LIGERO_FOURSTEP_NTT") == "0"
+                        else 16384 * 16384)
 
     def _pallas_ok(self, n: int) -> bool:
         return self.use_pallas_ntt and n <= self.PALLAS_NTT_MAX_N
@@ -154,7 +159,7 @@ class Backend:
                 coeffs = xp.concatenate([coeffs, pad], axis=-2)
             return mxu_ntt_pallas(self.field, coeffs, n)
         if self._pallas_ok(n):
-            from .pallas_ntt import ntt_pallas
+            from .pallas_ntt import ntt_pallas_any as ntt_pallas
             xp = self.xp
             k = coeffs.shape[-2]
             if k < n:
@@ -169,7 +174,7 @@ class Backend:
             from .mxu_ntt import mxu_ntt_pallas
             return mxu_ntt_pallas(self.field, evals, n, inverse=True)
         if self._pallas_ok(n):
-            from .pallas_ntt import ntt_pallas
+            from .pallas_ntt import ntt_pallas_any as ntt_pallas
             return ntt_pallas(self.field, evals, n, inverse=True)
         return self.domain(n).ifft(evals)
 
@@ -330,7 +335,7 @@ class Backend:
                 # fused epilogue: the n-point NTT emits canonical limbs
                 # directly (REDC-by-one inside the kernel), skipping the
                 # whole separate from-mont pass over the n-wide matrix
-                from .pallas_ntt import ntt_pallas
+                from .pallas_ntt import ntt_pallas_any as ntt_pallas
                 xp = self.xp
                 padded = xp.concatenate(
                     [coeffs, xp.zeros(coeffs.shape[:-2] + (n - k, coeffs.shape[-1]),
@@ -351,7 +356,7 @@ class Backend:
 
         def run(x):
             if self._pallas_ok(n):
-                from .pallas_ntt import ntt_pallas
+                from .pallas_ntt import ntt_pallas_any as ntt_pallas
                 xp = self.xp
                 w = x.shape[-2]
                 if w < n:
@@ -465,7 +470,7 @@ class Backend:
             def step(coeff_blk, h_, carry_, t0_):
                 blk = self._widen(coeff_blk)
                 if self._pallas_ok(n):
-                    from .pallas_ntt import ntt_pallas
+                    from .pallas_ntt import ntt_pallas_any as ntt_pallas
                     padded = xp.concatenate(
                         [blk, xp.zeros(blk.shape[:-2] + (n - k, L), np.uint32)],
                         axis=-2)
@@ -564,7 +569,7 @@ class Backend:
             def take_cols(coeff_blk, j):
                 blk = self._widen(coeff_blk)
                 if self._pallas_ok(n):
-                    from .pallas_ntt import ntt_pallas
+                    from .pallas_ntt import ntt_pallas_any as ntt_pallas
                     padded = xp.concatenate(
                         [blk, xp.zeros(blk.shape[:-2] + (n - k, L), np.uint32)],
                         axis=-2)

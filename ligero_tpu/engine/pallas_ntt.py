@@ -257,3 +257,102 @@ def ntt_pallas(field: FieldSpec, x, n: int, inverse: bool = False,
     if pad_rows:
         out = out[:, :B, :]
     return jnp.moveaxis(out, 0, 2)
+
+
+# ---------------------------------------------------------------------------
+# Four-step decomposition for n past the single-kernel VMEM bound
+# ---------------------------------------------------------------------------
+#
+# n = R*C with both factors <= the full-VMEM kernel's maximum.  With
+# j = j1*C + j2 and k = k1 + R*k2:
+#
+#     X[k1 + R*k2] = NTT_C_{j2}( w_n^{±j2*k1} * NTT_R_{j1}(x[j1*C + j2]) )
+#
+# i.e. two batched sub-NTT kernel launches around one elementwise
+# Montgomery twiddle multiply, with XLA transposes (HBM) between — three
+# HBM round-trips total versus one for the in-VMEM kernel, versus
+# one-per-stage for the XLA domain fallback this replaces.  The result
+# is the exact integer DFT, so it is bit-identical to the radix-2 path
+# by construction (asserted in tests/test_pallas_fourstep.py).
+#
+# Covers the reference hot loop /root/reference/src/ligero/mod.rs:998-1012
+# at 2^21+ gate scales (n >= 32768), which previously fell back to the
+# slow XLA domain path (round-2 VERDICT "missing" #5).
+
+#: largest n the single full-VMEM kernel instance handles on v5e
+PALLAS_SINGLE_MAX_N = 16384
+
+
+def fourstep_split(n: int) -> tuple[int, int]:
+    """Balanced power-of-two split n = R*C, C >= R, both <= single-kernel max."""
+    s = n.bit_length() - 1
+    r_bits = s // 2
+    R, C = 1 << r_bits, 1 << (s - r_bits)
+    if C > PALLAS_SINGLE_MAX_N:
+        raise ValueError(f"n={n} too large even for the four-step split")
+    return R, C
+
+
+@functools.lru_cache(maxsize=None)
+def _fourstep_twiddles(field_name: str, n: int, inverse: bool) -> np.ndarray:
+    """(C, R, L) Montgomery grid tw[j2, k1] = w_n^{±j2*k1}."""
+    field = FIELDS[field_name]
+    R, C = fourstep_split(n)
+    omega = field.root_of_unity(n)
+    if inverse:
+        omega = pow(omega, -1, field.p)
+    # tw[j2, k1] = omega^(j2*k1); build row by row with O(n) mults
+    rows = []
+    for j2 in range(C):
+        w = pow(omega, j2, field.p)
+        vals, cur = [], 1
+        for _ in range(R):
+            vals.append(cur)
+            cur = cur * w % field.p
+        rows.extend(vals)
+    return field.ints_to_mont_limbs(rows).reshape(C, R, field.num_limbs)
+
+
+def ntt_pallas_fourstep(field: FieldSpec, x, n: int, inverse: bool = False,
+                        interpret: bool = False,
+                        from_mont_out: bool = False):
+    """Batched NTT on ``(B, n, L)`` arrays for n past the VMEM bound."""
+    import jax.numpy as jnp
+
+    from .pallas_kernels import mont_mul_pallas
+
+    R, C = fourstep_split(n)
+    L = field.num_limbs
+    B = x.shape[0]
+    x = x.reshape(B, R, C, L)
+
+    # pass A: R-point NTTs along j1 (root w_n^C = canonical w_R)
+    xa = jnp.swapaxes(x, 1, 2).reshape(B * C, R, L)
+    y = ntt_pallas(field, xa, R, inverse=inverse, interpret=interpret)
+    y = y.reshape(B, C, R, L)
+
+    # twiddle: Y[b, j2, k1] *= w_n^{±j2*k1}
+    tw = jnp.asarray(_fourstep_twiddles(field.name, n, inverse))
+    y = mont_mul_pallas(field, y, tw[None], interpret=interpret)
+
+    # pass B: C-point NTTs along j2 (root w_n^R = canonical w_C); the
+    # inverse flags compose the full n^{-1} scaling (R^{-1} * C^{-1})
+    yb = jnp.swapaxes(y, 1, 2).reshape(B * R, C, L)
+    w = ntt_pallas(field, yb, C, inverse=inverse, interpret=interpret,
+                   from_mont_out=from_mont_out)
+    w = w.reshape(B, R, C, L)
+
+    # X[k1 + R*k2] = W[b, k1, k2]
+    return jnp.swapaxes(w, 1, 2).reshape(B, n, L)
+
+
+def ntt_pallas_any(field: FieldSpec, x, n: int, inverse: bool = False,
+                   interpret: bool = False, from_mont_out: bool = False):
+    """Route a batched (B, n, L) NTT to the single full-VMEM kernel or,
+    past its VMEM bound, the four-step composition."""
+    if n <= PALLAS_SINGLE_MAX_N:
+        return ntt_pallas(field, x, n, inverse=inverse, interpret=interpret,
+                          from_mont_out=from_mont_out)
+    return ntt_pallas_fourstep(field, x, n, inverse=inverse,
+                               interpret=interpret,
+                               from_mont_out=from_mont_out)

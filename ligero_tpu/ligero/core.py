@@ -455,10 +455,11 @@ class LigeroCircuit:
         SHA-256 tree levels, one interleaved combination, and one
         column-opening gather per phase.  zk instances batch too (the
         per-proof blinding/mask rows come from ``zk_seeds[i]``, fresh
-        random by default).  Mesh backends and batches past the
-        single-buffer budget fall back to sequential proving
-        (correctness first; the batch path targets many small/medium
-        proofs on one chip, where dispatch latency dominates).
+        random by default).  Mesh backends batch too (the heavy encode/
+        commit/gather ops run row-sharded over the mesh; byte-identical
+        to sequential, tested).  Batches past the single-buffer budget
+        (mesh-wide budget on a mesh) fall back to sequential proving,
+        whose streaming commit handles any scale.
         """
         if not assignments:
             return []
@@ -469,9 +470,13 @@ class LigeroCircuit:
         be = self.backend
         L = self.field.num_limbs
         per_proof = self.num_rows * self.n * L * 4
-        sub_max = max(1, Backend.MAX_DEVICE_BYTES // per_proof)
-        if (getattr(be, "mesh", None) is not None
-                or sub_max == 1 or not be.use_jax):
+        # mesh backends shard the row axis over D devices, so the
+        # per-device budget covers D proofs' worth of rows
+        mesh_d = getattr(be, "D", 1) if getattr(be, "mesh", None) else 1
+        sub_max = mesh_d * Backend.MAX_DEVICE_BYTES // per_proof
+        # a single proof past the (mesh-wide) budget goes through the
+        # sequential prover, which knows how to stream the commit
+        if sub_max < (2 if mesh_d == 1 else 1) or not be.use_jax:
             if self.zk:
                 return [self.prove(a, sponge.clone(), zk_seed=s)
                         for a, s in zip(assignments, zk_seeds)]
@@ -1311,12 +1316,12 @@ class LigeroCircuit:
         verifier's dominant device op).  zk
         proofs batch too (their interleaved reveal is a width-(k+3t)
         coefficient vector, so its codeword comes from one padded NTT
-        instead of an RS encode).  Mesh backends and the host-numpy
-        engine fall back to sequential verification.
+        instead of an RS encode).  Mesh backends batch as well (row-
+        sharded fused ops); only the host-numpy engine falls back to
+        sequential verification.
         """
         be = self.backend
-        if (len(proofs) <= 1
-                or getattr(be, "mesh", None) is not None or not be.use_jax):
+        if len(proofs) <= 1 or not be.use_jax:
             return [self.verify(p, sponge.clone()) for p in proofs]
 
         # pass 1: replay each well-formed proof's FS transcript (host

@@ -56,6 +56,8 @@ SLOW_TESTS = {
     "test_e2e_prove_verify_streamed",
     "test_batch_matches_sequential",
     "test_verify_batch_matches_sequential",
+    "test_prove_batch_sharded_byte_identical",
+    "test_prove_batch_sharded_zk",
 }
 
 

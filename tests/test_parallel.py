@@ -147,3 +147,73 @@ def test_full_prover_sharded_poseidon_fixture():
     lig_np = LigeroCircuit(c2, outputs2, backend=Backend(F))
     proof_np = lig_np.prove(vars_, sp.clone())
     assert proof.to_bytes(F) == proof_np.to_bytes(F)
+
+
+def test_prove_batch_sharded_byte_identical():
+    """prove_batch / verify_batch through ShardedBackend (round-3: mesh
+    servers get the batched serving path too): B proofs byte-identical
+    to sequential prove() on the same mesh AND to the single-device
+    batch, verdicts identical to sequential verify()."""
+    import jax
+    from jax.sharding import Mesh
+
+    from ligero_tpu.circuit import ArithmeticCircuit
+    from ligero_tpu.circuit.r1cs import parse_r1cs
+    from ligero_tpu.engine.backend import Backend
+    from ligero_tpu.ligero import LigeroCircuit, LigeroProof
+    from ligero_tpu.parallel import ShardedBackend
+    from ligero_tpu.sponge import test_sponge
+
+    cs = parse_r1cs("/root/reference/circom/multiplication.r1cs", F)
+    circuit, outputs = ArithmeticCircuit.from_constraint_system(cs, F)
+    mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("rows",))
+    lig = LigeroCircuit(circuit, outputs, backend=ShardedBackend(F, mesh))
+    sp = test_sponge(F)
+
+    # three distinct valid witnesses (wire order [1, y, s1, s2], y = s1*s2)
+    assigns = [[(1, s1 * s2), (2, s1), (3, s2)]
+               for s1, s2 in ((3, 5), (4, 7), (11, 13))]
+    batch = lig.prove_batch(assigns, sp)
+    seq = [lig.prove(a, sp.clone()) for a in assigns]
+    for b, s_ in zip(batch, seq):
+        assert b.to_bytes(F) == s_.to_bytes(F)
+
+    # cross-check vs the single-device batch path
+    lig1 = LigeroCircuit(*ArithmeticCircuit.from_constraint_system(
+        parse_r1cs("/root/reference/circom/multiplication.r1cs", F), F),
+        backend=Backend(F, use_jax=True))
+    batch1 = lig1.prove_batch(assigns, sp)
+    for b, s_ in zip(batch, batch1):
+        assert b.to_bytes(F) == s_.to_bytes(F)
+
+    # batched verification on the mesh: only the valid proofs pass
+    bad = LigeroProof.from_bytes(batch[0].to_bytes(F), F)
+    bad.interleaved.preenc_u_lc[0] = (bad.interleaved.preenc_u_lc[0] + 1) % F.p
+    verdicts = lig.verify_batch(batch + [bad], sp)
+    assert verdicts == [True, True, True, False]
+    assert verdicts[:3] == [lig.verify(p, sp.clone()) for p in batch]
+
+
+def test_prove_batch_sharded_zk():
+    """zk prove_batch on the mesh: byte-identical to sequential zk
+    proves with the same seeds; batched verification accepts."""
+    import jax
+    from jax.sharding import Mesh
+
+    from ligero_tpu.ligero import LigeroCircuit
+    from ligero_tpu.parallel import ShardedBackend
+    from ligero_tpu.sponge import test_sponge
+    from ligero_tpu.synthetic import generate_random_circuit
+
+    c, outputs, vars_ = generate_random_circuit(F, 96, num_vars=4, seed=3)
+    mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("rows",))
+    # small lambda keeps the 3t blinding width inside the toy instance
+    lig = LigeroCircuit(c, outputs, lambda_=10,
+                        backend=ShardedBackend(F, mesh), zk=True)
+    sp = test_sponge(F)
+    seeds = [bytes([i]) * 32 for i in (1, 2)]
+    batch = lig.prove_batch([vars_, vars_], sp, zk_seeds=seeds)
+    seq = [lig.prove(vars_, sp.clone(), zk_seed=s) for s in seeds]
+    for b, s_ in zip(batch, seq):
+        assert b.to_bytes(F) == s_.to_bytes(F)
+    assert lig.verify_batch(batch, sp) == [True, True]
