@@ -866,13 +866,16 @@ class LigeroCircuit:
         sponge.absorb_bytes(u_root)  # FS #1 (mod.rs:560 / :634)
 
         with phase_timer.phase("interleaved"):
-            interleaved = self._prove_interleaved(preenc, u_canon, tree, sponge)
+            preenc_u_lc, idx1 = self._prove_interleaved(preenc, u_canon, sponge)
         with phase_timer.phase("linear"):
-            linear = self._prove_linear(u_coeffs, u_canon, tree, sponge)
+            q, idx2 = self._prove_linear(u_coeffs, sponge)
         with phase_timer.phase("quadratic"):
-            quadratic = self._prove_quadratic(u_coeffs, u_canon, tree, sponge)
+            p0, idx3 = self._prove_quadratic(u_coeffs, sponge)
+        o1, o2, o3 = self._open_columns_fused(u_canon, tree, (idx1, idx2, idx3))
 
-        return LigeroProof(u_root, interleaved, linear, quadratic)
+        return LigeroProof(u_root, InterleavedProof(preenc_u_lc, *o1),
+                           LinearConstraintsProof(q, *o2),
+                           QuadraticConstraintsProof(p0, *o3))
 
     def _rs_encode_streamed(self, preenc):
         """RS-encode all 4m rows, row-chunked when the codeword matrix
@@ -1071,8 +1074,8 @@ class LigeroCircuit:
             lc = hostfk.add(lc, field.ints_to_mont_limbs(mask0))
             lc_ints = field.mont_limbs_to_ints(lc)
             sponge.absorb_field_elems(lc_ints)                 # FS #3
-            cols1, paths1 = self._open_columns(u_canon, tree, sponge)  # FS #4
-            interleaved = InterleavedProof(lc_ints, cols1, paths1)
+            idx1 = self._sample_indices(
+                sponge.squeeze_bytes(CHACHA_SEED_BYTES))       # FS #4
 
         with phase_timer.phase("linear"):
             seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)     # FS #5
@@ -1082,8 +1085,8 @@ class LigeroCircuit:
             q = _trim([(a + (maskq[i] if i < len(maskq) else 0)) % p
                        for i, a in enumerate(q_data)])
             sponge.absorb_field_elems(q)                       # FS #6
-            cols2, paths2 = self._open_columns(u_canon, tree, sponge)  # FS #7
-            linear = LinearConstraintsProof(q, cols2, paths2)
+            idx2 = self._sample_indices(
+                sponge.squeeze_bytes(CHACHA_SEED_BYTES))       # FS #7
 
         with phase_timer.phase("quadratic"):
             seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)     # FS #8
@@ -1094,10 +1097,13 @@ class LigeroCircuit:
             p0 = _trim([(a + (maskp[i] if i < len(maskp) else 0)) % p
                         for i, a in enumerate(p0_data)])
             sponge.absorb_field_elems(p0)                      # FS #9
-            cols3, paths3 = self._open_columns(u_canon, tree, sponge)  # FS #10
-            quadratic = QuadraticConstraintsProof(p0, cols3, paths3)
+            idx3 = self._sample_indices(
+                sponge.squeeze_bytes(CHACHA_SEED_BYTES))       # FS #10
 
-        return LigeroProof(u_root, interleaved, linear, quadratic)
+        o1, o2, o3 = self._open_columns_fused(u_canon, tree, (idx1, idx2, idx3))
+        return LigeroProof(u_root, InterleavedProof(lc_ints, *o1),
+                           LinearConstraintsProof(q, *o2),
+                           QuadraticConstraintsProof(p0, *o3))
 
     def _build_preenc(self, var_assignment):
         """4m x k preenc matrix as host limb arrays — uint16 (native path,
@@ -1133,7 +1139,7 @@ class LigeroCircuit:
     def _expand_field(self, count: int, seed: bytes) -> np.ndarray:
         return rand_field_elements_limbs(self.field, count, seed)
 
-    def _prove_interleaved(self, preenc, u_canon, tree, sponge) -> InterleavedProof:
+    def _prove_interleaved(self, preenc, u_canon, sponge):
         be = self.backend
         seed_r = sponge.squeeze_bytes(CHACHA_SEED_BYTES)       # FS #2
         r = self._expand_field(4 * self.m, seed_r)
@@ -1150,8 +1156,9 @@ class LigeroCircuit:
                 preenc_src = preenc
             preenc_u_lc = be.mont_to_ints(be.row_combine(r, preenc_src))
         sponge.absorb_field_elems(preenc_u_lc)                 # FS #3
-        columns, paths = self._open_columns(u_canon, tree, sponge)  # FS #4
-        return InterleavedProof(preenc_u_lc, columns, paths)
+        idx = self._sample_indices(
+            sponge.squeeze_bytes(CHACHA_SEED_BYTES))           # FS #4
+        return preenc_u_lc, idx
 
     def _r_a_coeff_rows(self, seed: bytes) -> np.ndarray:
         """r_linear -> r^T A, chunked into 4m rows of k, iNTT'd (Montgomery).
@@ -1233,7 +1240,7 @@ class LigeroCircuit:
                     be.asarray(vals_mont.astype(np.uint16)).astype(np.uint32))
         return self._a_coo_dev
 
-    def _prove_linear(self, u_coeffs, u_canon, tree, sponge) -> LinearConstraintsProof:
+    def _prove_linear(self, u_coeffs, sponge):
         be = self.backend
         seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)         # FS #5
         r_coeffs = self._r_a_coeff_rows(seed)
@@ -1241,10 +1248,11 @@ class LigeroCircuit:
             q_mont = be.linear_combination_poly(u_coeffs, r_coeffs, 2 * self.k)
         q = _trim(be.canon_limbs_to_ints(be.from_mont(q_mont)))
         sponge.absorb_field_elems(q)                           # FS #6
-        columns, paths = self._open_columns(u_canon, tree, sponge)  # FS #7
-        return LinearConstraintsProof(q, columns, paths)
+        idx = self._sample_indices(
+            sponge.squeeze_bytes(CHACHA_SEED_BYTES))           # FS #7
+        return q, idx
 
-    def _prove_quadratic(self, u_coeffs, u_canon, tree, sponge) -> QuadraticConstraintsProof:
+    def _prove_quadratic(self, u_coeffs, sponge):
         be = self.backend
         seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)         # FS #8
         r_quad = self._expand_field(self.m, seed)
@@ -1260,8 +1268,9 @@ class LigeroCircuit:
                 u_coeffs[:3 * self.m], be.asarray(r_quad), 2 * self.k)
         p0 = _trim(be.canon_limbs_to_ints(be.from_mont(p0_mont)))
         sponge.absorb_field_elems(p0)                          # FS #9
-        columns, paths = self._open_columns(u_canon, tree, sponge)  # FS #10
-        return QuadraticConstraintsProof(p0, columns, paths)
+        idx = self._sample_indices(
+            sponge.squeeze_bytes(CHACHA_SEED_BYTES))           # FS #10
+        return p0, idx
 
     def _sample_indices(self, seed: bytes) -> list[int]:
         if self.zk:
@@ -1270,6 +1279,29 @@ class LigeroCircuit:
             return get_distinct_indices_excluding(self.n, self.t, seed,
                                                   self.n // self.k)
         return get_distinct_indices_from_prng(self.n, self.t, seed)
+
+    def _open_columns_fused(self, u_canon, tree, idx_sets):
+        """One gather for every opening phase.
+
+        Valid because opened columns are proof DATA, never absorbed into
+        the transcript (SURVEY.md §4; reference mod.rs:935-955 only
+        squeezes the index seed) — each index set is still squeezed at
+        its exact FS position; only the data fetch is deferred.  One
+        dispatch (and, in streaming mode, one chunk re-encode pass)
+        replaces three.  Byte-identical proofs (tested)."""
+        all_idx = [j for idx in idx_sets for j in idx]
+        with phase_timer.phase("open.gather"):
+            cols = self.backend.gather_columns(u_canon, all_idx)
+        out, off = [], 0
+        for idx in idx_sets:
+            with phase_timer.phase("open.to_ints"):
+                columns = [self.field.limbs_to_ints(cols[:, off + i, :])
+                           for i in range(len(idx))]
+            with phase_timer.phase("open.paths"):
+                paths = [tree.generate_proof(j) for j in idx]
+            out.append((columns, paths))
+            off += len(idx)
+        return out
 
     def _open_columns(self, u_canon, tree, sponge):
         seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)
@@ -1401,6 +1433,43 @@ class LigeroCircuit:
             out.append(bool(ok))
         return out
 
+    def warmup(self) -> dict:
+        """Compile every prover AND verifier executable for this
+        instance's shapes: one throwaway prove (all-ones witness; the
+        resulting proof is structurally complete) plus a forced-full
+        verify that runs every heavy verifier op even though the
+        value checks fail.  With the persistent compilation cache
+        (utils.jaxcache — the axon PJRT plugin serializes executables)
+        the compiled artifacts survive process restarts, so a later
+        cold process proves/verifies at warm speed (round-2 VERDICT
+        "cold-start" item).  Returns phase timings."""
+        import time
+        import warnings
+
+        from ..sponge import test_sponge
+
+        sponge = test_sponge(self.field)
+        vars_bumped = [(i, 1)
+                       for i in sorted(set(self.circuit.variables.values()))]
+        t0 = time.time()
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # garbage witness, by design
+            proof = self._prove_inner(vars_bumped, sponge.clone())
+        prove_s = time.time() - t0
+
+        t0 = time.time()
+        sp = sponge.clone()
+        sp.absorb_bytes(proof.u_root)
+        self._warming = True
+        try:
+            self._verify_interleaved(proof.interleaved, proof.u_root, sp)
+            self._verify_linear(proof.linear, proof.u_root, sp)
+            self._verify_quadratic(proof.quadratic, proof.u_root, sp)
+        finally:
+            self._warming = False
+        return {"prove_s": round(prove_s, 3),
+                "verify_s": round(time.time() - t0, 3)}
+
     def _well_formed(self, proof: LigeroProof) -> bool:
         """Structural validation of an untrusted proof: malformed shapes
         return False instead of crashing downstream reshapes/indexing
@@ -1519,7 +1588,8 @@ class LigeroCircuit:
             q_evals = be.mont_to_ints(
                 be.ntt(q_limbs.reshape(1, d2, -1), self.n)[0])
         if sum(q_evals[0::self.n // k]) % p != 0:
-            return False
+            if not getattr(self, "_warming", False):
+                return False
 
         sponge.absorb_field_elems(proof.polynomial)            # FS #6
         if not self._verify_column_openings(proof.columns, proof.paths,
@@ -1574,7 +1644,8 @@ class LigeroCircuit:
             p0_evals = be.mont_to_ints(
                 be.ntt(p0_limbs.reshape(1, d2, -1), self.n)[0])
         if any(p0_evals[(self.n // k) * c] != 0 for c in range(k)):
-            return False
+            if not getattr(self, "_warming", False):
+                return False
 
         sponge.absorb_field_elems(proof.polynomial)            # FS #9
         if not self._verify_column_openings(proof.columns, proof.paths,

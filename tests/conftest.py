@@ -58,6 +58,7 @@ SLOW_TESTS = {
     "test_verify_batch_matches_sequential",
     "test_prove_batch_sharded_byte_identical",
     "test_prove_batch_sharded_zk",
+    "test_warmup_verb",
 }
 
 

@@ -75,3 +75,35 @@ def test_bad_args():
         main(["prove", "--r1cs", R1CS])  # no witness source
     with pytest.raises(SystemExit):
         main(["info", "--r1cs", R1CS, "--field", "nope"])
+
+
+def test_warmup_verb(tmp_path):
+    """warmup compiles prove+verify executables (throwaway witness +
+    forced-full verify) and leaves the instance reusable: a real prove
+    afterwards verifies, and its bytes match a fresh instance's proof."""
+    import json as _json
+
+    from ligero_tpu.circuit.arithmetic import ArithmeticCircuit
+    from ligero_tpu.circuit.r1cs import parse_r1cs
+    from ligero_tpu.fields import BN254_FR as F
+    from ligero_tpu.ligero import LigeroCircuit
+    from ligero_tpu.sponge import test_sponge
+
+    rc = main(["warmup", "--r1cs", R1CS, "--cpu"])
+    assert rc == 0
+
+    # warmup must not perturb instance state: proofs after warmup() are
+    # byte-identical to proofs from a fresh instance
+    def build():
+        cs = parse_r1cs(R1CS, F)
+        c, outs = ArithmeticCircuit.from_constraint_system(cs, F)
+        return LigeroCircuit(c, outs)
+
+    sp = test_sponge(F)
+    vars_ = [(1, 15), (2, 3), (3, 5)]
+    lig = build()
+    lig.warmup()
+    p1 = lig.prove(vars_, sp.clone())
+    assert lig.verify(p1, sp.clone())
+    p2 = build().prove(vars_, sp.clone())
+    assert p1.to_bytes(F) == p2.to_bytes(F)
