@@ -136,14 +136,21 @@ def _attach_recorded(result: dict) -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     for key, names in (("last_tpu_headline", ("bench_tpu_last.json",)),
                        ("fixtures", ("bench_configs.json",)),
-                       ("at_scale", ("atscale_r2f.json", "atscale_r2e.json",
-                                     "atscale_r2d.json", "atscale_r2c.json",
-                                     "atscale_r2b.json", "atscale_r2.json",
+                       ("at_scale", ("atscale_r3.json", "atscale_r2f.json",
+                                     "atscale_r2e.json", "atscale_r2d.json",
+                                     "atscale_r2c.json", "atscale_r2b.json",
+                                     "atscale_r2.json",
                                      "atscale_17_smoke.json")),
-                       ("at_scale_2pow20", ("atscale_r2g.json",
+                       ("at_scale_2pow20", ("atscale_r3.json",
+                                            "atscale_r2g.json",
                                             "atscale_r2d.json")),
-                       ("streaming_at_scale", ("atscale_streaming.json",)),
-                       ("zk_at_scale", ("atscale_zk.json",)),
+                       ("cold_start", ("atscale_r3_cold.json",)),
+                       ("streaming_at_scale", ("atscale_streaming_r3.json",
+                                               "atscale_streaming.json")),
+                       ("zk_at_scale", ("atscale_zk_r3.json",
+                                        "atscale_zk.json")),
+                       ("fourstep_ntt", ("fourstep_ntt_validation.json",)),
+                       ("scaling_methodology", ("scaling.json",)),
                        ("mxu_ntt", ("mxu_ntt_bench.json",))):
         for name in names:
             path = os.path.join(here, name)
