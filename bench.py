@@ -136,15 +136,18 @@ def _attach_recorded(result: dict) -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     for key, names in (("last_tpu_headline", ("bench_tpu_last.json",)),
                        ("fixtures", ("bench_configs.json",)),
-                       ("at_scale", ("atscale_r3.json", "atscale_r2f.json",
+                       ("at_scale", ("atscale_r3_final.json",
+                                     "atscale_r3.json", "atscale_r2f.json",
                                      "atscale_r2e.json", "atscale_r2d.json",
                                      "atscale_r2c.json", "atscale_r2b.json",
                                      "atscale_r2.json",
                                      "atscale_17_smoke.json")),
-                       ("at_scale_2pow20", ("atscale_r3.json",
+                       ("at_scale_2pow20", ("atscale_r3_final.json",
+                                            "atscale_r3.json",
                                             "atscale_r2g.json",
                                             "atscale_r2d.json")),
                        ("cold_start", ("atscale_r3_cold.json",)),
+                       ("at_scale_sync_attribution", ("atscale_r3_sync.json",)),
                        ("streaming_at_scale", ("atscale_streaming_r3.json",
                                                "atscale_streaming.json")),
                        ("zk_at_scale", ("atscale_zk_r3.json",
