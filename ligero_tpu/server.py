@@ -19,6 +19,7 @@ API (JSON over HTTP, stdlib-only on both ends):
                                  ["zk_seed": hex]}
                                 -> {"proof": hex, "prove_s": ...}
     POST /verify                {"name", "proof": hex} -> {"verified": bool}
+    POST /warmup                {"name"} -> precompile + persist executables
                                 or {"name", "proofs": [hex, ...]} ->
                                 {"verified": [bool, ...]} (batched pipeline)
 
@@ -135,6 +136,14 @@ class ProverService:
                 "verify_s": round(dt, 4),
                 "proofs_per_s": round(len(proofs_hex) / dt, 3) if dt else None}
 
+    def warmup(self, name: str) -> dict:
+        """Precompile + persist every executable for a registered
+        circuit's shapes (LigeroCircuit.warmup): after this, a service
+        restart serves its first request at warm speed (the persistent
+        compilation cache survives processes)."""
+        lig = self._get(name)
+        return {"warmed": name, **lig.warmup()}
+
     def health(self) -> dict:
         return {"status": "ok", "field": self.field.name,
                 "circuits": sorted(self._circuits)}
@@ -175,6 +184,8 @@ def make_handler(service: ProverService):
                         req["name"], witness=req.get("witness"),
                         inputs=req.get("inputs"), wasm=req.get("wasm"),
                         zk_seed=req.get("zk_seed")))
+                if self.path == "/warmup":
+                    return self._send(200, service.warmup(req["name"]))
                 if self.path == "/verify":
                     if "proofs" in req:
                         return self._send(200, service.verify_batch(

@@ -111,3 +111,17 @@ def test_service_witness_list(server_url):
                                        "witness": [1, 15, 3, 5]})
     ok = _post(server_url, "/verify", {"name": "m2", "proof": res["proof"]})
     assert ok["verified"] is True
+
+
+def test_service_warmup(server_url):
+    """POST /warmup precompiles a registered circuit's executables and
+    leaves proving/verifying intact."""
+    _post(server_url, "/circuits", {"name": "warm", "r1cs": R1CS})
+    res = _post(server_url, "/warmup", {"name": "warm"})
+    assert res["warmed"] == "warm"
+    assert res["prove_s"] > 0 and res["verify_s"] > 0
+    out = _post(server_url, "/prove",
+                {"name": "warm", "witness": [1, 15, 3, 5]})
+    chk = _post(server_url, "/verify",
+                {"name": "warm", "proof": out["proof"]})
+    assert chk["verified"] is True
