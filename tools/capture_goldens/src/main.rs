@@ -115,7 +115,7 @@ fn sponge_probes<F: PrimeField + Absorb>(field_name: &str) -> Value {
     outs.push(hex::encode(s.squeeze_bytes(32)));
     s.absorb(&elems);
     outs.push(hex::encode(s.squeeze_bytes(32)));
-    let elems2: Vec<F> = (0u64..3).map(|i| F::from(i + 1) * F::from(2u64).pow([200])).collect();
+    let elems2: Vec<F> = (0u64..3).map(|i| F::from(i + 1) * F::from(2u64).pow([200u64])).collect();
     s.absorb(&elems2);
     outs.push(hex::encode(s.squeeze_bytes(32)));
     probes.push(json!({
