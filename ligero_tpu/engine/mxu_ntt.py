@@ -180,20 +180,6 @@ class _FieldVm:
         return self.redc_cols(acc, L)
 
 
-def _add_rows(xp, acc, start, p_m):
-    if xp is np:
-        acc[start:start + p_m.shape[0]] += p_m
-        return acc
-    return acc.at[start:start + p_m.shape[0]].add(p_m)
-
-
-def _add_cols(xp, acc, start, p_m):
-    if xp is np:
-        acc[:, start:start + p_m.shape[1]] += p_m
-        return acc
-    return acc.at[:, start:start + p_m.shape[1]].add(p_m)
-
-
 def _stage_matmul(xp, dot, w7, d7_blocks, data_left: bool):
     """One four-step DFT stage as L7 int8 matmuls + shifted accumulate.
 
@@ -201,25 +187,32 @@ def _stage_matmul(xp, dot, w7, d7_blocks, data_left: bool):
     ``w7``: (L7, K, K) int8 constants.  data_left=False computes
     W @ D (contracting D's rows); data_left=True computes D @ W
     (contracting D's columns).  Returns 2*L7-1 redundant base-2^7
-    columns as (R, C) uint32 arrays (max block index m+l = 2*L7-2, so
-    the accumulator is exactly n_cols blocks wide).
+    columns as (R, C) uint32 arrays (max block index m+l = 2*L7-2).
+
+    The shifted accumulate is expressed as per-block static-slice adds
+    (block t sums P_m's chunk l over m+l=t) — Pallas TPU has no
+    scatter-add lowering, and exact uint32 adds commute, so this is
+    bit-identical to an in-place shifted accumulator.
     """
     n_cols = 2 * L7 - 1
+    rows, cols = d7_blocks[0].shape
     if data_left:
         d_exp = xp.concatenate(d7_blocks, axis=0).astype(np.int8)  # (L7*R, C)
-        rows, cols = d7_blocks[0].shape
-        acc = xp.zeros((n_cols * rows, cols), np.uint32)
-        for m in range(L7):
-            p_m = dot(d_exp, w7[m])  # (L7*R, C)
-            acc = _add_rows(xp, acc, m * rows, p_m)
-        return [acc[t * rows:(t + 1) * rows] for t in range(n_cols)]
-    d_exp = xp.concatenate(d7_blocks, axis=1).astype(np.int8)  # (R, L7*C)
-    rows, cols = d7_blocks[0].shape
-    acc = xp.zeros((w7.shape[1], n_cols * cols), np.uint32)
+        shape = (rows, cols)
+    else:
+        d_exp = xp.concatenate(d7_blocks, axis=1).astype(np.int8)  # (R, L7*C)
+        shape = (w7.shape[1], cols)
+    blocks = [xp.zeros(shape, np.uint32) for _ in range(n_cols)]
     for m in range(L7):
-        p_m = dot(w7[m], d_exp)  # (K, L7*C)
-        acc = _add_cols(xp, acc, m * cols, p_m)
-    return [acc[:, t * cols:(t + 1) * cols] for t in range(n_cols)]
+        if data_left:
+            p_m = dot(d_exp, w7[m])  # (L7*R, C)
+            chunks = [p_m[l * rows:(l + 1) * rows] for l in range(L7)]
+        else:
+            p_m = dot(w7[m], d_exp)  # (K, L7*C)
+            chunks = [p_m[:, l * cols:(l + 1) * cols] for l in range(L7)]
+        for l in range(L7):
+            blocks[m + l] = blocks[m + l] + chunks[l]
+    return blocks
 
 
 def _regroup_7_to_16(xp, cols7):

@@ -60,9 +60,15 @@ def bench_kernel(name, fn, field, batch, n, iters=3):
         bad = np.nonzero(~np.all(ref == out0[check], axis=-1))
         log(f"{name}: MISMATCH at {[tuple(int(v[i]) for v in bad) for i in range(min(5, len(bad[0])))]}")
 
+    # Pre-stage DISTINCT device-resident inputs (fresh bits defeat the
+    # tunnel's identical-request result cache) so the timed loop measures
+    # the kernel, not the ~256 MB host->device tunnel upload per call.
+    staged = [jax.device_put(fresh()) for _ in range(iters)]
+    for s in staged:
+        s.block_until_ready()
+
     times = []
-    for _ in range(iters):
-        x = fresh()
+    for x in staged:
         t0 = time.time()
         out = jfn(x)
         np.asarray(out[0, :2])           # force a small transfer
