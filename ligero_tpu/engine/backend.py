@@ -124,15 +124,20 @@ class Backend:
     # protocol building blocks
     # ------------------------------------------------------------------
     def _use_mxu(self, n: int) -> bool:
-        """Route transforms of size n through the MXU four-step kernel
-        (opt-in via LIGERO_MXU_NTT=1 until TPU-benchmarked as default).
+        """Route transforms of size n through the MXU four-step kernel.
+
+        Default ON since the on-chip benchmark (mxu_bench_r3.json,
+        PERF.md): 105.5M points/s vs 56.2M for the radix-2 VPU kernel at
+        n=8192, bit-exact both ways; LIGERO_MXU_NTT=0 restores radix-2.
         Needs both factors >= 32 so the int8 matmuls tile the MXU."""
         if not (self.use_pallas_ntt and self._mxu_ntt_enabled):
             return False
-        from .mxu_ntt import split_n
-        return split_n(n)[1] >= 32
+        from .mxu_ntt import mxu_ok
+        # past n = 16384 (n1 > 128) the exact-int8 bound fails and the
+        # four-step composition over radix-2 sub-kernels takes over
+        return mxu_ok(n)
 
-    _mxu_ntt_enabled = __import__("os").environ.get("LIGERO_MXU_NTT") == "1"
+    _mxu_ntt_enabled = __import__("os").environ.get("LIGERO_MXU_NTT") != "0"
 
     # largest transform routed through Pallas: up to 16384 the full-VMEM
     # single kernel; past it the four-step composition (two sub-NTT
@@ -331,6 +336,16 @@ class Backend:
 
         def run(x):
             coeffs = self._ifft(x, k)
+            if self._use_mxu(n):
+                # MXU path: canonical limbs fall out of a different
+                # stage-2 twiddle constant (R^-1 folded in) — zero cost
+                from .mxu_ntt import mxu_ntt_pallas
+                xp = self.xp
+                padded = xp.concatenate(
+                    [coeffs, xp.zeros(coeffs.shape[:-2] + (n - k, coeffs.shape[-1]),
+                                      np.uint32)], axis=-2)
+                return coeffs, mxu_ntt_pallas(self.field, padded, n,
+                                              canon_out=True)
             if self._pallas_ok(n):
                 # fused epilogue: the n-point NTT emits canonical limbs
                 # directly (REDC-by-one inside the kernel), skipping the
@@ -355,6 +370,15 @@ class Backend:
         :meth:`rs_encode_and_canon` is skipped."""
 
         def run(x):
+            if self._use_mxu(n):
+                from .mxu_ntt import mxu_ntt_pallas
+                xp = self.xp
+                w = x.shape[-2]
+                if w < n:
+                    x = xp.concatenate(
+                        [x, xp.zeros(x.shape[:-2] + (n - w, x.shape[-1]),
+                                     np.uint32)], axis=-2)
+                return mxu_ntt_pallas(self.field, x, n, canon_out=True)
             if self._pallas_ok(n):
                 from .pallas_ntt import ntt_pallas_any as ntt_pallas
                 xp = self.xp

@@ -53,18 +53,29 @@ def split_n(n: int) -> tuple[int, int]:
     return n1, n // n1
 
 
+def mxu_ok(n: int) -> bool:
+    """True when the MXU formulation is exact and efficient for size n:
+    n2 >= 32 tiles the int8 matmuls onto the MXU; n1 <= 128 keeps the
+    int8 column sums exact in int32 (128 * 37 * 127^2 < 2^31)."""
+    n1, n2 = split_n(n)
+    return n2 >= 32 and n1 <= 128
+
+
 def _int_to_limbs7(v: int) -> list[int]:
     return [(v >> (7 * l)) & MASK7 for l in range(L7)]
 
 
 @functools.lru_cache(maxsize=None)
-def _const_data(field_name: str, n: int, inverse: bool):
+def _const_data(field_name: str, n: int, inverse: bool,
+                canon_out: bool = False):
     """Constant tensors (all numpy):
 
     w2_7: (L7, n2, n2) int8 — Montgomery W2[a,b] = w_{n2}^{ab} * R
     w1_7: (L7, n1, n1) int8 — Montgomery W1
     t16:  (L, n2, n1) uint32 — T''^T[k2,j1] = w_n^{j1 k2} * R * 2^32
-          (* n^-1 for the inverse transform), 16-bit limbs
+          (* n^-1 for the inverse transform; * R^-1 for canon_out, which
+          makes the kernel emit canonical limbs at zero extra cost — the
+          fused from-mont epilogue of the commit path), 16-bit limbs
     """
     field = FIELDS[field_name]
     p = field.p
@@ -86,6 +97,8 @@ def _const_data(field_name: str, n: int, inverse: bool):
         return arr
 
     extra = pow(2, 32, p) * (pow(n, -1, p) if inverse else 1) % p
+    if canon_out:
+        extra = extra * pow(R, -1, p) % p
     t16 = np.zeros((L, n2, n1), np.uint32)
     for k2 in range(n2):
         for j1 in range(n1):
@@ -261,7 +274,8 @@ def _row_core(xp, dot, x16, consts, field: FieldSpec):
     return xp.stack([xp.swapaxes(e_t[q], 0, 1) for q in range(L)])
 
 
-def mxu_ntt_numpy(field: FieldSpec, x, n: int, inverse: bool = False):
+def mxu_ntt_numpy(field: FieldSpec, x, n: int, inverse: bool = False,
+                  canon_out: bool = False):
     """Exact numpy execution of the kernel's integer path.
 
     ``x``: (B, n, L) uint32 Montgomery limbs -> same shape, transformed.
@@ -269,7 +283,7 @@ def mxu_ntt_numpy(field: FieldSpec, x, n: int, inverse: bool = False):
     DomainOps)."""
     n1, n2 = split_n(n)
     L = field.num_limbs
-    consts = _const_data(field.name, n, inverse)
+    consts = _const_data(field.name, n, inverse, canon_out)
     out = np.empty_like(x)
     for r in range(x.shape[0]):
         xt = np.ascontiguousarray(
@@ -283,7 +297,8 @@ ROW_TILE = 1  # batch rows per kernel instance (VMEM-bound)
 
 
 @functools.lru_cache(maxsize=None)
-def _mxu_kernel_factory(field_name: str, n: int, inverse: bool):
+def _mxu_kernel_factory(field_name: str, n: int, inverse: bool,
+                        canon_out: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -292,7 +307,7 @@ def _mxu_kernel_factory(field_name: str, n: int, inverse: bool):
     field = FIELDS[field_name]
     L = field.num_limbs
     n1, n2 = split_n(n)
-    w2_7, w1_7, t16 = _const_data(field_name, n, inverse)
+    w2_7, w1_7, t16 = _const_data(field_name, n, inverse, canon_out)
 
     def dot_i32(a, b):
         return jax.lax.dot(a, b, preferred_element_type=jnp.int32
@@ -330,16 +345,22 @@ def _mxu_kernel_factory(field_name: str, n: int, inverse: bool):
     return run
 
 
-def mxu_ntt_pallas(field: FieldSpec, x, n: int, inverse: bool = False):
+def mxu_ntt_pallas(field: FieldSpec, x, n: int, inverse: bool = False,
+                   canon_out: bool = False):
     """Batched MXU NTT on (B, n, L) Montgomery arrays (natural order
     in/out; no bit-reversal needed for the four-step algorithm)."""
     import jax.numpy as jnp
+
+    if not mxu_ok(n):
+        raise ValueError(
+            f"n={n} outside the exact-int8 MXU envelope (need n2 >= 32, "
+            f"n1 <= 128); route through pallas_ntt.ntt_pallas_any instead")
 
     n1, n2 = split_n(n)
     L = field.num_limbs
     B = x.shape[0]
     # (B, n, L) -> (B, L, n2, n1) -> (B, L*n2, n1)
     xt = jnp.transpose(x.reshape(B, n2, n1, L), (0, 3, 1, 2))
-    run = _mxu_kernel_factory(field.name, n, inverse)
+    run = _mxu_kernel_factory(field.name, n, inverse, canon_out)
     out = run(xt.reshape(B, L * n2, n1))  # (B, L*n1, n2)
     return jnp.transpose(out.reshape(B, L, n), (0, 2, 1))

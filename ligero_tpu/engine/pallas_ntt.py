@@ -83,123 +83,131 @@ def _ntt_kernel_factory(field_name: str, n: int, inverse: bool, row_tile: int,
     n_inv_limbs = [np.uint32(int(v)) for v in
                    field.ints_to_mont_limbs([pow(n, -1, field.p)])[0]]
 
+    # Limb values are PYTHON LISTS of L (T, n) arrays throughout the
+    # kernel body — list shifts replace the stacked-accumulator
+    # concatenates of the original formulation, whose three (2L, T, n)
+    # VMEM copies per limb iteration dominated the kernel (measured at
+    # ~6% of the VPU ceiling; PERF.md "copy-heavy concats").  Exact
+    # uint32 adds commute, so the results are bit-identical.
+
     def _normalize_condsub(res_rows):
-        """Carry-normalize L column vectors then conditionally subtract p."""
+        """Carry-normalize L column values then conditionally subtract p."""
         c = jnp.zeros(res_rows[0].shape, jnp.uint32)
         rows = []
         for j in range(L):
             t = res_rows[j] + c
             rows.append(t & mask)
             c = t >> sixteen
-        res = jnp.stack(rows)
         borrow = jnp.zeros(res_rows[0].shape, jnp.uint32)
         diff = []
         for j in range(L):
             t = rows[j] + np.uint32(0x10000) - p_scalars[j] - borrow
             diff.append(t & mask)
             borrow = np.uint32(1) - (t >> sixteen)
-        return jnp.where((borrow == 0)[None], jnp.stack(diff), res)
+        ge = borrow == 0
+        return [jnp.where(ge, d, r) for d, r in zip(diff, rows)]
 
-    def _redc(acc, zero_row):
-        """16-bit interleaved REDC on a (2L, ...) column accumulator."""
-        carry = jnp.zeros(acc.shape[1:], jnp.uint32)
+    def _redc(acc):
+        """16-bit interleaved REDC on a list of 2L redundant columns."""
+        carry = jnp.zeros(acc[0].shape, jnp.uint32)
         for _ in range(L):
             v = acc[0] + carry
             m = (v * n16) & mask
             mp = [m * pj for pj in p_scalars]
             carry = (v + (mp[0] & mask)) >> sixteen
-            add_mid = jnp.stack(
-                [(mp[j] & mask) + (mp[j - 1] >> sixteen) for j in range(1, L)])
-            acc = jnp.concatenate(
-                [acc[0:1], acc[1:L] + add_mid,
-                 acc[L:L + 1] + (mp[L - 1] >> sixteen)[None], acc[L + 1:]],
-                axis=0)
-            acc = jnp.concatenate([acc[1:], zero_row], axis=0)
-        res = [acc[0] + carry] + [acc[j] for j in range(1, L)]
-        return _normalize_condsub(res)
+            nxt = list(acc[1:])
+            for j in range(1, L):
+                nxt[j - 1] = nxt[j - 1] + (mp[j] & mask) \
+                    + (mp[j - 1] >> sixteen)
+            nxt[L - 1] = nxt[L - 1] + (mp[L - 1] >> sixteen)
+            acc = nxt
+        return _normalize_condsub([acc[0] + carry] + acc[1:L])
 
     def mont_mul_vm(a, b):
-        """(L, T, n) x (L, T, n) Montgomery product, everything in VMEM."""
-        zero_row = jnp.zeros_like(a[0:1])
-        acc = jnp.zeros(((2 * L,) + a.shape[1:]), jnp.uint32)
+        """L-list x L-list Montgomery product, everything in VMEM."""
+        zero = jnp.zeros_like(a[0])
+        acc = [zero] * (2 * L)
         for i in range(L - 1, -1, -1):
-            acc = jnp.concatenate([zero_row, acc[:-1]], axis=0)
-            prod = a[i:i + 1] * b
-            acc = jnp.concatenate([acc[0:L] + (prod & mask), acc[L:]], axis=0)
-            acc = jnp.concatenate(
-                [acc[0:1], acc[1:L + 1] + (prod >> sixteen), acc[L + 1:]], axis=0)
-        return _redc(acc, zero_row)
+            acc = [zero] + acc[:-1]
+            for j in range(L):
+                prod = a[i] * b[j]
+                acc[j] = acc[j] + (prod & mask)
+                acc[j + 1] = acc[j + 1] + (prod >> sixteen)
+        return _redc(acc)
 
     def mont_mul_const(a, c_limbs):
         """a * const, const given as L python uint32 scalars (Montgomery)."""
-        zero_row = jnp.zeros_like(a[0:1])
-        acc = jnp.zeros(((2 * L,) + a.shape[1:]), jnp.uint32)
+        zero = jnp.zeros_like(a[0])
+        acc = [zero] * (2 * L)
         for i in range(L - 1, -1, -1):
-            acc = jnp.concatenate([zero_row, acc[:-1]], axis=0)
-            prod = a * c_limbs[i]  # every limb of a times the scalar limb
-            acc = jnp.concatenate([acc[0:L] + (prod & mask), acc[L:]], axis=0)
-            acc = jnp.concatenate(
-                [acc[0:1], acc[1:L + 1] + (prod >> sixteen), acc[L + 1:]], axis=0)
-        return _redc(acc, zero_row)
+            acc = [zero] + acc[:-1]
+            for j in range(L):
+                prod = a[j] * c_limbs[i]
+                acc[j] = acc[j] + (prod & mask)
+                acc[j + 1] = acc[j + 1] + (prod >> sixteen)
+        return _redc(acc)
 
     def add_mod(a, b):
-        limbs = [a[j] + b[j] for j in range(L)]
-        c = jnp.zeros(a.shape[1:], jnp.uint32)
+        c = jnp.zeros(a[0].shape, jnp.uint32)
         rows = []
         for j in range(L):
-            t = limbs[j] + c
+            t = a[j] + b[j] + c
             rows.append(t & mask)
             c = t >> sixteen
-        res = jnp.stack(rows)
-        borrow = jnp.zeros(a.shape[1:], jnp.uint32)
+        borrow = jnp.zeros(a[0].shape, jnp.uint32)
         diff = []
         for j in range(L):
             t = rows[j] + np.uint32(0x10000) - p_scalars[j] - borrow
             diff.append(t & mask)
             borrow = np.uint32(1) - (t >> sixteen)
-        return jnp.where((borrow == 0)[None], jnp.stack(diff), res)
+        ge = borrow == 0
+        return [jnp.where(ge, d, r) for d, r in zip(diff, rows)]
 
     def sub_mod(a, b):
-        borrow = jnp.zeros(a.shape[1:], jnp.uint32)
+        borrow = jnp.zeros(a[0].shape, jnp.uint32)
         diff = []
         for j in range(L):
             t = a[j] + np.uint32(0x10000) - b[j] - borrow
             diff.append(t & mask)
             borrow = np.uint32(1) - (t >> sixteen)
-        under = (borrow != 0)
-        carry = jnp.zeros(a.shape[1:], jnp.uint32)
+        under = borrow != 0
+        carry = jnp.zeros(a[0].shape, jnp.uint32)
         rows = []
         for j in range(L):
             t = diff[j] + jnp.where(under, p_scalars[j], np.uint32(0)) + carry
             rows.append(t & mask)
             carry = t >> sixteen
-        return jnp.stack(rows)
+        return rows
 
     def kernel(x_ref, tw_ref, out_ref):
-        x = x_ref[:, :, :]  # (L, T, n), already bit-reversed along n
-        lane_idx = jax.lax.broadcasted_iota(jnp.uint32, x.shape[1:], 1)
+        # (L, T, n), already bit-reversed along n — unstacked to a list
+        xs = [x_ref[j] for j in range(L)]
+        lane_idx = jax.lax.broadcasted_iota(jnp.uint32, xs[0].shape, 1)
         for s in range(S):
             h = 1 << s
             bit_set = (lane_idx & np.uint32(h)) != 0
-            x_fwd = pltpu.roll(x, n - h, 2)  # x[(j + h) mod n]
-            x_bwd = pltpu.roll(x, h, 2)      # x[(j - h) mod n]
-            partner = jnp.where(bit_set[None], x_bwd, x_fwd)  # x[j ^ h]
-            hi = jnp.where(bit_set[None], x, partner)         # x[j | h]
-            lo = jnp.where(bit_set[None], partner, x)         # x[j & ~h]
-            tw = tw_ref[s]  # (L, n) — broadcast over the row tile
-            prod = mont_mul_vm(hi, jnp.broadcast_to(tw[:, None, :], hi.shape))
-            x = jnp.where(bit_set[None], sub_mod(lo, prod), add_mod(lo, prod))
+            partner = []
+            for v in xs:
+                v_fwd = pltpu.roll(v, n - h, 1)  # x[(j + h) mod n]
+                v_bwd = pltpu.roll(v, h, 1)      # x[(j - h) mod n]
+                partner.append(jnp.where(bit_set, v_bwd, v_fwd))  # x[j ^ h]
+            hi = [jnp.where(bit_set, v, p) for v, p in zip(xs, partner)]
+            lo = [jnp.where(bit_set, p, v) for v, p in zip(xs, partner)]
+            tw = [jnp.broadcast_to(tw_ref[s, j][None], xs[0].shape)
+                  for j in range(L)]  # (n,) broadcast over the row tile
+            prod = mont_mul_vm(hi, tw)
+            xs = [jnp.where(bit_set, s_, a_)
+                  for s_, a_ in zip(sub_mod(lo, prod), add_mod(lo, prod))]
         if inverse:
-            x = mont_mul_const(x, n_inv_limbs)
+            xs = mont_mul_const(xs, n_inv_limbs)
         if from_mont_out:
             # fused Montgomery->canonical epilogue: REDC(x * 1) is REDC of
             # the zero-extended accumulator — one extra reduction per
             # element instead of a whole separate HBM round-trip kernel
-            zero_row = jnp.zeros_like(x[0:1])
-            acc = jnp.concatenate(
-                [x, jnp.zeros((L,) + x.shape[1:], jnp.uint32)], axis=0)
-            x = _redc(acc, zero_row)
-        out_ref[:, :, :] = x
+            zero = jnp.zeros_like(xs[0])
+            xs = _redc(xs + [zero] * L)
+        for j in range(L):
+            out_ref[j] = xs[j]
 
     def run(x_lbn, interpret=False):
         """x: (L, B, n) bit-reversed input -> (L, B, n) transformed."""

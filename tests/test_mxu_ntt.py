@@ -38,6 +38,23 @@ def test_mxu_ntt_matches_domain_ops(n, inverse):
     assert np.array_equal(got, ref)
 
 
+@pytest.mark.parametrize("n", [256, 2048])
+def test_mxu_ntt_canon_out(n):
+    """canon_out folds R^-1 into the stage-2 twiddle: the kernel emits
+    canonical limbs directly (the fused from-mont commit epilogue)."""
+    fk = FieldKernel(F, np)
+    dom = DomainOps(fk, n)
+    rng = np.random.default_rng(7 * n)
+    limbs = F.ints_to_mont_limbs(
+        [int(v) for v in rng.integers(0, 2 ** 62, 2 * n)]
+    ).reshape(2, n, F.num_limbs)
+    mont = np.asarray(dom.fft_padded(limbs))
+    ref = F.ints_to_limbs(F.mont_limbs_to_ints(mont.reshape(-1, F.num_limbs))
+                          ).reshape(mont.shape)
+    got = mxu_ntt_numpy(F, limbs, n, canon_out=True)
+    assert np.array_equal(got, ref)
+
+
 def test_mxu_ntt_edge_values():
     """p-1 / 0 / 1 operands stress the REDC bound (T max when all
     operands are ~p)."""
