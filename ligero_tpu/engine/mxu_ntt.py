@@ -228,6 +228,57 @@ def _stage_matmul(xp, dot, w7, d7_blocks, data_left: bool):
     return blocks
 
 
+def _fuse_w_right(w7: np.ndarray) -> np.ndarray:
+    """Stage-1 fused constant: contraction over (data limb la, data row j).
+
+    big[(t*K + c), (la*K + j)] = w7[t-la][c, j] (zero outside 0 <= t-la
+    < L7), so  out[(t*K + c), col] = sum_{la,j} big * D7[(la*K + j), col]
+    equals the loop form's blocks[t][c, col] exactly.  Column sums are
+    bounded by K * L7 * 127^2 <= 128*37*16129 < 2^31, so int8 matmuls
+    with int32 accumulation stay exact."""
+    L7_, K, _ = w7.shape
+    n_cols = 2 * L7 - 1
+    big = np.zeros((n_cols * K, L7 * K), np.int8)
+    for m in range(L7):
+        for la in range(L7):
+            t = m + la
+            big[t * K:(t + 1) * K, la * K:(la + 1) * K] = w7[m]
+    return big
+
+
+def _fuse_w_left(w7: np.ndarray) -> np.ndarray:
+    """Stage-3 fused constant: big[(la*K + j), (t*K + c)] = w7[t-la][j, c],
+    so  out[row, (t*K + c)] = sum_{la,j} D7[row, (la*K + j)] * big
+    equals the loop form's blocks[t][row, c] exactly."""
+    L7_, K, _ = w7.shape
+    n_cols = 2 * L7 - 1
+    big = np.zeros((L7 * K, n_cols * K), np.int8)
+    for m in range(L7):
+        for la in range(L7):
+            t = m + la
+            big[la * K:(la + 1) * K, t * K:(t + 1) * K] = w7[m]
+    return big
+
+
+def _stage_matmul_fused(xp, dot, wbig, d7_blocks, data_left: bool):
+    """One four-step DFT stage as ONE int8 matmul: the data-limb axis
+    rides the contraction dimension (PERF.md roadmap #2's full form).
+
+    Versus the per-m loop this does 2x the MACs (half of ``wbig`` is
+    structural zeros) but eliminates all L7^2 shifted block-adds — the
+    VMEM-traffic bottleneck of the loop form.  Exact by the int32 bound
+    in :func:`_fuse_w_right`; bit-identical (integer sums commute)."""
+    n_cols = 2 * L7 - 1
+    rows, cols = d7_blocks[0].shape
+    if data_left:
+        d_exp = xp.concatenate(d7_blocks, axis=1).astype(np.int8)  # (R, L7*C)
+        out = dot(d_exp, wbig)  # (R, n_cols*C) with C = K
+        return [out[:, t * cols:(t + 1) * cols] for t in range(n_cols)]
+    d_exp = xp.concatenate(d7_blocks, axis=0).astype(np.int8)  # (L7*R, C)
+    out = dot(wbig, d_exp)  # (n_cols*K, C) with K = rows
+    return [out[t * rows:(t + 1) * rows] for t in range(n_cols)]
+
+
 def _regroup_7_to_16(xp, cols7):
     """Base-2^7 redundant columns -> 16-bit redundant columns < ~2^19.
 
@@ -250,25 +301,43 @@ def _regroup_7_to_16(xp, cols7):
     return out
 
 
+#: largest n whose fused stage constants fit VMEM comfortably (the
+#: stage-3 fused matrix is (37*n1, 73*n1) int8 — 44 MB at n1=128, so
+#: n=16384 keeps the per-m loop form)
+FUSED_MAX_N = 8192
+
+
+@functools.lru_cache(maxsize=None)
+def _const_data_exec(field_name: str, n: int, inverse: bool,
+                     canon_out: bool = False):
+    """Execution-form constants: fused single-matmul stage matrices when
+    they fit VMEM, the per-m loop form otherwise."""
+    w2_7, w1_7, t16 = _const_data(field_name, n, inverse, canon_out)
+    if n <= FUSED_MAX_N:
+        return _fuse_w_right(w2_7), _fuse_w_left(w1_7), t16, True
+    return w2_7, w1_7, t16, False
+
+
 def _row_core(xp, dot, x16, consts, field: FieldSpec):
     """Transform one row: x16 (L, n2, n1) 16-bit Montgomery limbs of
     A^T -> (L, n1, n2) limbs of E (natural-order output).  Pure integer
     math over ``xp`` (numpy or jnp-inside-Pallas)."""
-    w2_7, w1_7, t16 = consts
+    w2c, w1c, t16, fused = consts
     L = field.num_limbs
     fv = _FieldVm(xp, field)
+    sm = _stage_matmul_fused if fused else _stage_matmul
 
-    # stage 1: B^T = W2 @ A^T  (data right, limbs in columns)
+    # stage 1: B^T = W2 @ A^T  (data right, limbs in the contraction)
     d7 = _limbs16_to_7(xp, x16)
-    cols7 = _stage_matmul(xp, dot, w2_7, d7, data_left=False)
+    cols7 = sm(xp, dot, w2c, d7, data_left=False)
     b16 = fv.redc_cols(_regroup_7_to_16(xp, cols7), REDC_STEPS)
 
     # stage 2: pointwise twiddle (T'' carries R*2^32 [*n^-1])
     c16 = fv.mont_mul(b16, xp.asarray(t16))
 
-    # stage 3: E^T = C^T @ W1  (data left, limbs in rows)
+    # stage 3: E^T = C^T @ W1  (data left, limbs in the contraction)
     d7 = _limbs16_to_7(xp, c16)
-    cols7 = _stage_matmul(xp, dot, w1_7, d7, data_left=True)
+    cols7 = sm(xp, dot, w1c, d7, data_left=True)
     e_t = fv.redc_cols(_regroup_7_to_16(xp, cols7), REDC_STEPS)  # (L, n2, n1)
 
     return xp.stack([xp.swapaxes(e_t[q], 0, 1) for q in range(L)])
@@ -283,7 +352,7 @@ def mxu_ntt_numpy(field: FieldSpec, x, n: int, inverse: bool = False,
     DomainOps)."""
     n1, n2 = split_n(n)
     L = field.num_limbs
-    consts = _const_data(field.name, n, inverse, canon_out)
+    consts = _const_data_exec(field.name, n, inverse, canon_out)
     out = np.empty_like(x)
     for r in range(x.shape[0]):
         xt = np.ascontiguousarray(
@@ -307,7 +376,7 @@ def _mxu_kernel_factory(field_name: str, n: int, inverse: bool,
     field = FIELDS[field_name]
     L = field.num_limbs
     n1, n2 = split_n(n)
-    w2_7, w1_7, t16 = _const_data(field_name, n, inverse, canon_out)
+    w2c, w1c, t16, fused = _const_data_exec(field_name, n, inverse, canon_out)
 
     def dot_i32(a, b):
         return jax.lax.dot(a, b, preferred_element_type=jnp.int32
@@ -315,9 +384,18 @@ def _mxu_kernel_factory(field_name: str, n: int, inverse: bool,
 
     def kernel(x_ref, w2_ref, w1_ref, t_ref, out_ref):
         x16 = x_ref[0].reshape(L, n2, n1)
-        consts = (w2_ref[:, :, :], w1_ref[:, :, :], t_ref[:, :, :])
+        if fused:
+            consts = (w2_ref[:, :], w1_ref[:, :], t_ref[:, :, :], True)
+        else:
+            consts = (w2_ref[:, :, :], w1_ref[:, :, :], t_ref[:, :, :], False)
         e = _row_core(jnp, dot_i32, x16, consts, field)  # (L, n1, n2)
         out_ref[0] = e.reshape(L * n1, n2)
+
+    def _const_spec(shape):
+        """Grid-invariant VMEM operand (whole array, every grid step)."""
+        zeros = (0,) * len(shape)
+        return pl.BlockSpec(shape, lambda i, z=zeros: z,
+                            memory_space=pltpu.VMEM)
 
     def run(x_lrows):
         """x: (B, L*n2, n1) -> (B, L*n1, n2)."""
@@ -329,18 +407,16 @@ def _mxu_kernel_factory(field_name: str, n: int, inverse: bool,
             in_specs=[
                 pl.BlockSpec((1, L * n2, n1), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((L7, n2, n2), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((L7, n1, n1), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, n2, n1), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
+                _const_spec(w2c.shape),
+                _const_spec(w1c.shape),
+                _const_spec(t16.shape),
             ],
             out_specs=pl.BlockSpec((1, L * n1, n2), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
                 vmem_limit_bytes=100 * 1024 * 1024),
-        )(x_lrows, jnp.asarray(w2_7), jnp.asarray(w1_7), jnp.asarray(t16))
+        )(x_lrows, jnp.asarray(w2c), jnp.asarray(w1c), jnp.asarray(t16))
 
     return run
 

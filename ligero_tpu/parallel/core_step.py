@@ -135,11 +135,22 @@ def make_prover_core(field: FieldSpec, four_m: int, k: int, n: int,
         else:
             words, byte_len = _column_words(jnp, u_canon, four_m, L)
             leaves_le = hk.blake2s(words, byte_len)
-        level = _byteswap(leaves_le)
-        while level.shape[0] > 1:
-            level = hk.sha256_two_to_one(level[0::2], level[1::2])
-        root = level[0]
-        lc = fk.sum_mod(fk.mont_mul(r[:, None, :], preenc), axis=0)
+        if use_pallas_hash:
+            from ..engine.pallas_tree import sha256_tree_root_pallas
+            root = sha256_tree_root_pallas(_byteswap(leaves_le))
+        else:
+            level = _byteswap(leaves_le)
+            while level.shape[0] > 1:
+                level = hk.sha256_two_to_one(level[0::2], level[1::2])
+            root = level[0]
+        if use_pallas:
+            # Pallas Montgomery products (119M mul/s vs ~19M for the XLA
+            # limb graph) + one exact uint32 row reduction
+            from ..engine.pallas_kernels import mont_mul_pallas
+            prod = mont_mul_pallas(field, preenc, r[:, None, :])
+            lc = fk.sum_mod_wide(prod, axis=0)
+        else:
+            lc = fk.sum_mod(fk.mont_mul(r[:, None, :], preenc), axis=0)
         return u_canon, leaves_le, root, lc
 
     return fn

@@ -187,3 +187,20 @@ def test_from_mont_is_redc_of_mul_by_one():
             want, np.asarray(FieldKernel(F, jnp).from_mont(jnp.asarray(a))))
     finally:
         FieldKernel.MAX_BATCH_ELEMS = old
+
+
+def test_sum_mod_wide_matches_tree_sum():
+    """sum_mod_wide (raw uint32 sum + constant fold-back) is bit-identical
+    to the add_mod tree reduction on every axis."""
+    import numpy as np
+
+    from ligero_tpu.engine.fieldops import FieldKernel
+    from ligero_tpu.fields import BN254_FR
+
+    fk = FieldKernel(BN254_FR, np)
+    rng = np.random.default_rng(42)
+    vals = [int(v) % BN254_FR.p for v in rng.integers(0, 2 ** 63, 300 * 5)]
+    vals[:3] = [0, 1, BN254_FR.p - 1]
+    a = BN254_FR.ints_to_mont_limbs(vals).reshape(300, 5, BN254_FR.num_limbs)
+    assert np.array_equal(fk.sum_mod_wide(a, 0), fk.sum_mod(a, 0))
+    assert np.array_equal(fk.sum_mod_wide(a, 1), fk.sum_mod(a, 1))

@@ -65,3 +65,30 @@ def test_mxu_ntt_edge_values():
     limbs = F.ints_to_mont_limbs(vals).reshape(1, n, F.num_limbs)
     assert np.array_equal(mxu_ntt_numpy(F, limbs, n),
                           np.asarray(dom.fft_padded(limbs)))
+
+
+def test_fused_stage_matches_loop_form():
+    """The single-matmul fused stage (limbs in the contraction) is
+    bit-identical to the per-m loop + shifted block adds."""
+    from ligero_tpu.engine.mxu_ntt import (
+        _const_data, _fuse_w_left, _fuse_w_right, _limbs16_to_7,
+        _np_dot_i32, _stage_matmul, _stage_matmul_fused)
+
+    n = 1024
+    w2, w1, _t16 = _const_data(F.name, n, False)
+    rng = np.random.default_rng(5)
+    n1, n2 = split_n(n)
+    x = F.ints_to_mont_limbs(
+        [int(v) % F.p for v in rng.integers(0, 2 ** 63, n)]
+    ).reshape(n2, n1, F.num_limbs).transpose(2, 0, 1)  # (L, n2, n1)
+    d7 = _limbs16_to_7(np, x)
+    loop = _stage_matmul(np, _np_dot_i32, w2, d7, data_left=False)
+    fused = _stage_matmul_fused(np, _np_dot_i32, _fuse_w_right(w2), d7,
+                                data_left=False)
+    for a, b in zip(loop, fused):
+        assert np.array_equal(a, b)
+    loop = _stage_matmul(np, _np_dot_i32, w1, d7, data_left=True)
+    fused = _stage_matmul_fused(np, _np_dot_i32, _fuse_w_left(w1), d7,
+                                data_left=True)
+    for a, b in zip(loop, fused):
+        assert np.array_equal(a, b)
