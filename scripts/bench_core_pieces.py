@@ -119,24 +119,26 @@ def main():
     np.asarray(hash_fn(*staged[0])[0, :1])
     timed("blake2s_cols", hash_fn, staged, results, args.iters)
 
-    # 4. SHA-256 Merkle tree reduction over the n leaves
+    # 4. SHA-256 Merkle tree reduction over the n leaves (fused Pallas
+    # kernel — the production use_pallas_hash route)
+    from ligero_tpu.engine.pallas_tree import sha256_tree_root_pallas
+
     def tree(leaves_le):
-        level = _byteswap(leaves_le)
-        while level.shape[0] > 1:
-            level = hk.sha256_two_to_one(level[0::2], level[1::2])
-        return level[0]
+        return sha256_tree_root_pallas(_byteswap(leaves_le))
     tree_fn = jax.jit(tree)
     staged = stage(lambda: (rng.integers(0, 2**32, (n, 8)).astype(np.uint32),))
     np.asarray(tree_fn(*staged[0])[:1])
-    timed("sha_tree", tree_fn, staged, results, args.iters)
+    timed("sha_tree_pallas", tree_fn, staged, results, args.iters)
 
-    # 5. challenge combination lc = sum_mod(mont_mul(r, preenc))
-    lc_fn = jax.jit(lambda p, r: fk.sum_mod(
-        fk.mont_mul(r[:, None, :], p), axis=0))
+    # 5. challenge combination lc (Pallas mont_mul + exact u32 row sum —
+    # the production use_pallas route)
+    from ligero_tpu.engine.pallas_kernels import mont_mul_pallas
+    lc_fn = jax.jit(lambda p, r: fk.sum_mod_wide(
+        mont_mul_pallas(field, p, r[:, None, :]), 0))
     staged = stage(lambda: (fresh(rows, k),
                             fresh(1, rows).reshape(rows, L)))
     np.asarray(lc_fn(*staged[0])[0, :1])
-    timed("lc_combination", lc_fn, staged, results, args.iters)
+    timed("lc_combination_pallas", lc_fn, staged, results, args.iters)
 
     out = {"platform": jax.devices()[0].platform, "rows": rows, "k": k,
            "n": n, "pieces": results}
