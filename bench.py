@@ -154,7 +154,10 @@ def _attach_recorded(result: dict) -> None:
                                         "atscale_zk.json")),
                        ("fourstep_ntt", ("fourstep_ntt_validation.json",)),
                        ("scaling_methodology", ("scaling.json",)),
-                       ("mxu_ntt", ("mxu_ntt_bench.json",))):
+                       ("core_pieces", ("core_pieces_r3b.json",
+                                        "core_pieces.json")),
+                       ("mxu_ntt", ("mxu_bench_r3.json",
+                                    "mxu_ntt_bench.json"))):
         for name in names:
             path = os.path.join(here, name)
             if os.path.exists(path):
