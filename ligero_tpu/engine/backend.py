@@ -132,10 +132,11 @@ class Backend:
         Needs both factors >= 32 so the int8 matmuls tile the MXU."""
         if not (self.use_pallas_ntt and self._mxu_ntt_enabled):
             return False
-        from .mxu_ntt import mxu_ok
-        # past n = 16384 (n1 > 128) the exact-int8 bound fails and the
-        # four-step composition over radix-2 sub-kernels takes over
-        return mxu_ok(n)
+        from .mxu_ntt import mxu_any_ok
+        # n <= 8192: single fused kernel; 8192 < n <= 65536: radix-2
+        # split levels over MXU leaf kernels; past that, the radix-2
+        # Pallas four-step composition takes over
+        return mxu_any_ok(n)
 
     _mxu_ntt_enabled = __import__("os").environ.get("LIGERO_MXU_NTT") != "0"
 
@@ -155,14 +156,14 @@ class Backend:
     def _fft_padded(self, coeffs, n: int):
         """fft with zero-extension, routed to Pallas on accelerators."""
         if self._use_mxu(n):
-            from .mxu_ntt import mxu_ntt_pallas
+            from .mxu_ntt import mxu_ntt_any
             xp = self.xp
             k = coeffs.shape[-2]
             if k < n:
                 pad = xp.zeros(coeffs.shape[:-2] + (n - k, coeffs.shape[-1]),
                                np.uint32)
                 coeffs = xp.concatenate([coeffs, pad], axis=-2)
-            return mxu_ntt_pallas(self.field, coeffs, n)
+            return mxu_ntt_any(self.field, coeffs, n)
         if self._pallas_ok(n):
             from .pallas_ntt import ntt_pallas_any as ntt_pallas
             xp = self.xp
@@ -176,8 +177,8 @@ class Backend:
 
     def _ifft(self, evals, n: int):
         if self._use_mxu(n):
-            from .mxu_ntt import mxu_ntt_pallas
-            return mxu_ntt_pallas(self.field, evals, n, inverse=True)
+            from .mxu_ntt import mxu_ntt_any
+            return mxu_ntt_any(self.field, evals, n, inverse=True)
         if self._pallas_ok(n):
             from .pallas_ntt import ntt_pallas_any as ntt_pallas
             return ntt_pallas(self.field, evals, n, inverse=True)
@@ -339,13 +340,13 @@ class Backend:
             if self._use_mxu(n):
                 # MXU path: canonical limbs fall out of a different
                 # stage-2 twiddle constant (R^-1 folded in) — zero cost
-                from .mxu_ntt import mxu_ntt_pallas
+                from .mxu_ntt import mxu_ntt_any
                 xp = self.xp
                 padded = xp.concatenate(
                     [coeffs, xp.zeros(coeffs.shape[:-2] + (n - k, coeffs.shape[-1]),
                                       np.uint32)], axis=-2)
-                return coeffs, mxu_ntt_pallas(self.field, padded, n,
-                                              canon_out=True)
+                return coeffs, mxu_ntt_any(self.field, padded, n,
+                                           canon_out=True)
             if self._pallas_ok(n):
                 # fused epilogue: the n-point NTT emits canonical limbs
                 # directly (REDC-by-one inside the kernel), skipping the
@@ -371,14 +372,14 @@ class Backend:
 
         def run(x):
             if self._use_mxu(n):
-                from .mxu_ntt import mxu_ntt_pallas
+                from .mxu_ntt import mxu_ntt_any
                 xp = self.xp
                 w = x.shape[-2]
                 if w < n:
                     x = xp.concatenate(
                         [x, xp.zeros(x.shape[:-2] + (n - w, x.shape[-1]),
                                      np.uint32)], axis=-2)
-                return mxu_ntt_pallas(self.field, x, n, canon_out=True)
+                return mxu_ntt_any(self.field, x, n, canon_out=True)
             if self._pallas_ok(n):
                 from .pallas_ntt import ntt_pallas_any as ntt_pallas
                 xp = self.xp

@@ -54,11 +54,24 @@ def split_n(n: int) -> tuple[int, int]:
 
 
 def mxu_ok(n: int) -> bool:
-    """True when the MXU formulation is exact and efficient for size n:
-    n2 >= 32 tiles the int8 matmuls onto the MXU; n1 <= 128 keeps the
-    int8 column sums exact in int32 (128 * 37 * 127^2 < 2^31)."""
+    """True when the single MXU kernel is exact AND fast for size n:
+    n2 >= 32 tiles the int8 matmuls onto the MXU; n <= 8192 keeps the
+    fused-contraction stage constants in VMEM (past it the per-m loop
+    form is 3-4x slower than radix-2 — measured at n=16384,
+    atscale_r3_final 2^20 warm regression)."""
     n1, n2 = split_n(n)
-    return n2 >= 32 and n1 <= 128
+    return n2 >= 32 and n <= 8192
+
+
+#: largest transform the Cooley-Tukey split wrapper decomposes onto
+#: MXU sub-kernels (depth <= 3 radix-2 levels over 8192-point leaves)
+MXU_SPLIT_MAX_N = 65536
+
+
+def mxu_any_ok(n: int) -> bool:
+    """True when some MXU route exists for n: the single kernel
+    (:func:`mxu_ok`) or the radix-2 split composition over it."""
+    return mxu_ok(n) or (8192 < n <= MXU_SPLIT_MAX_N)
 
 
 def _int_to_limbs7(v: int) -> list[int]:
@@ -67,7 +80,7 @@ def _int_to_limbs7(v: int) -> list[int]:
 
 @functools.lru_cache(maxsize=None)
 def _const_data(field_name: str, n: int, inverse: bool,
-                canon_out: bool = False):
+                canon_out: bool = False, extra_shift: int = 0):
     """Constant tensors (all numpy):
 
     w2_7: (L7, n2, n2) int8 — Montgomery W2[a,b] = w_{n2}^{ab} * R
@@ -75,7 +88,9 @@ def _const_data(field_name: str, n: int, inverse: bool,
     t16:  (L, n2, n1) uint32 — T''^T[k2,j1] = w_n^{j1 k2} * R * 2^32
           (* n^-1 for the inverse transform; * R^-1 for canon_out, which
           makes the kernel emit canonical limbs at zero extra cost — the
-          fused from-mont epilogue of the commit path), 16-bit limbs
+          fused from-mont epilogue of the commit path; * 2^-extra_shift
+          for the Cooley-Tukey split wrapper's inverse normalization),
+          16-bit limbs
     """
     field = FIELDS[field_name]
     p = field.p
@@ -99,6 +114,8 @@ def _const_data(field_name: str, n: int, inverse: bool,
     extra = pow(2, 32, p) * (pow(n, -1, p) if inverse else 1) % p
     if canon_out:
         extra = extra * pow(R, -1, p) % p
+    if extra_shift:
+        extra = extra * pow(pow(2, extra_shift, p), -1, p) % p
     t16 = np.zeros((L, n2, n1), np.uint32)
     for k2 in range(n2):
         for j1 in range(n1):
@@ -309,10 +326,11 @@ FUSED_MAX_N = 8192
 
 @functools.lru_cache(maxsize=None)
 def _const_data_exec(field_name: str, n: int, inverse: bool,
-                     canon_out: bool = False):
+                     canon_out: bool = False, extra_shift: int = 0):
     """Execution-form constants: fused single-matmul stage matrices when
     they fit VMEM, the per-m loop form otherwise."""
-    w2_7, w1_7, t16 = _const_data(field_name, n, inverse, canon_out)
+    w2_7, w1_7, t16 = _const_data(field_name, n, inverse, canon_out,
+                                  extra_shift)
     if n <= FUSED_MAX_N:
         return _fuse_w_right(w2_7), _fuse_w_left(w1_7), t16, True
     return w2_7, w1_7, t16, False
@@ -344,7 +362,7 @@ def _row_core(xp, dot, x16, consts, field: FieldSpec):
 
 
 def mxu_ntt_numpy(field: FieldSpec, x, n: int, inverse: bool = False,
-                  canon_out: bool = False):
+                  canon_out: bool = False, extra_shift: int = 0):
     """Exact numpy execution of the kernel's integer path.
 
     ``x``: (B, n, L) uint32 Montgomery limbs -> same shape, transformed.
@@ -352,7 +370,8 @@ def mxu_ntt_numpy(field: FieldSpec, x, n: int, inverse: bool = False,
     DomainOps)."""
     n1, n2 = split_n(n)
     L = field.num_limbs
-    consts = _const_data_exec(field.name, n, inverse, canon_out)
+    consts = _const_data_exec(field.name, n, inverse, canon_out,
+                              extra_shift)
     out = np.empty_like(x)
     for r in range(x.shape[0]):
         xt = np.ascontiguousarray(
@@ -367,7 +386,7 @@ ROW_TILE = 1  # batch rows per kernel instance (VMEM-bound)
 
 @functools.lru_cache(maxsize=None)
 def _mxu_kernel_factory(field_name: str, n: int, inverse: bool,
-                        canon_out: bool = False):
+                        canon_out: bool = False, extra_shift: int = 0):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -376,7 +395,8 @@ def _mxu_kernel_factory(field_name: str, n: int, inverse: bool,
     field = FIELDS[field_name]
     L = field.num_limbs
     n1, n2 = split_n(n)
-    w2c, w1c, t16, fused = _const_data_exec(field_name, n, inverse, canon_out)
+    w2c, w1c, t16, fused = _const_data_exec(field_name, n, inverse,
+                                            canon_out, extra_shift)
 
     def dot_i32(a, b):
         return jax.lax.dot(a, b, preferred_element_type=jnp.int32
@@ -422,7 +442,7 @@ def _mxu_kernel_factory(field_name: str, n: int, inverse: bool,
 
 
 def mxu_ntt_pallas(field: FieldSpec, x, n: int, inverse: bool = False,
-                   canon_out: bool = False):
+                   canon_out: bool = False, extra_shift: int = 0):
     """Batched MXU NTT on (B, n, L) Montgomery arrays (natural order
     in/out; no bit-reversal needed for the four-step algorithm)."""
     import jax.numpy as jnp
@@ -437,6 +457,72 @@ def mxu_ntt_pallas(field: FieldSpec, x, n: int, inverse: bool = False,
     B = x.shape[0]
     # (B, n, L) -> (B, L, n2, n1) -> (B, L*n2, n1)
     xt = jnp.transpose(x.reshape(B, n2, n1, L), (0, 3, 1, 2))
-    run = _mxu_kernel_factory(field.name, n, inverse, canon_out)
+    run = _mxu_kernel_factory(field.name, n, inverse, canon_out,
+                              extra_shift)
     out = run(xt.reshape(B, L * n2, n1))  # (B, L*n1, n2)
     return jnp.transpose(out.reshape(B, L, n), (0, 2, 1))
+
+
+# ---------------------------------------------------------------------------
+# Radix-2 Cooley-Tukey split over MXU leaf kernels (8192 < n <= 65536)
+# ---------------------------------------------------------------------------
+#
+# The single MXU kernel's fused stage constants outgrow VMEM past n=8192
+# and its per-m loop form is slower than radix-2 there (PERF.md), so
+# larger transforms decompose as  X[k] = E[k'] ± w_n^{±k'} O[k']  with
+# E/O the half-size (M)NTTs of the even/odd samples — one DIT level per
+# factor of two, MXU kernels at the 8192-point leaves.  Exact by
+# construction; the inverse's extra 1/2 per level and the canonical-
+# output epilogue fold into the leaf kernels' stage-2 twiddle constant
+# (extra_shift / canon_out), and the combine works identically on
+# Montgomery or canonical values because the twiddle constants stay in
+# Montgomery form:  mont_mul(tw*R, v) = tw*v  for either representation.
+# Covers the reference hot loop /root/reference/src/ligero/mod.rs:998-1012
+# at the 2^20-2^22 BASELINE scales.
+
+
+@functools.lru_cache(maxsize=None)
+def _split_twiddles(field_name: str, n: int, inverse: bool) -> np.ndarray:
+    """(n/2, L) Montgomery limbs of w_n^{±j}, j in [0, n/2)."""
+    field = FIELDS[field_name]
+    p = field.p
+    omega = field.root_of_unity(n)
+    if inverse:
+        omega = pow(omega, -1, p)
+    vals, cur = [], 1
+    for _ in range(n // 2):
+        vals.append(cur)
+        cur = cur * omega % p
+    return field.ints_to_mont_limbs(vals)
+
+
+def mxu_ntt_split_pallas(field: FieldSpec, x, n: int, inverse: bool = False,
+                         canon_out: bool = False, extra_shift: int = 0):
+    """Batched (B, n, L) NTT for n past the single-kernel bound, as
+    recursive radix-2 DIT levels over MXU leaf kernels."""
+    import jax.numpy as jnp
+
+    from .fieldops import FieldKernel
+    from .pallas_kernels import mont_mul_pallas
+
+    if mxu_ok(n):
+        return mxu_ntt_pallas(field, x, n, inverse, canon_out, extra_shift)
+    if n > MXU_SPLIT_MAX_N:
+        raise ValueError(f"n={n} past the MXU split bound {MXU_SPLIT_MAX_N}")
+    half = n // 2
+    # the inverse's 1/n = (1/2) * (1/half): fold this level's 1/2 into
+    # the sub-transforms' stage-2 constants (zero extra compute)
+    sub_shift = extra_shift + (1 if inverse else 0)
+    e = mxu_ntt_split_pallas(field, x[:, 0::2, :], half, inverse,
+                             canon_out, sub_shift)
+    o = mxu_ntt_split_pallas(field, x[:, 1::2, :], half, inverse,
+                             canon_out, sub_shift)
+    tw = jnp.asarray(_split_twiddles(field.name, n, inverse))
+    t_o = mont_mul_pallas(field, o, tw[None])
+    fk = FieldKernel(field, jnp, unroll=False)
+    return jnp.concatenate([fk.add(e, t_o), fk.sub(e, t_o)], axis=1)
+
+
+#: route-anything entry: single kernel inside the envelope, radix-2
+#: split composition past it (up to MXU_SPLIT_MAX_N)
+mxu_ntt_any = mxu_ntt_split_pallas

@@ -98,6 +98,23 @@ def main():
     log(f"rs_encode_and_canon MXU (k={k}, n={n}): coeffs "
         f"{'OK' if m1 else 'MISMATCH'}, canon {'OK' if m2 else 'MISMATCH'}")
 
+    # 4. radix-2 split over MXU leaves at the 2^20 shape (n=16384)
+    from ligero_tpu.engine.mxu_ntt import mxu_ntt_any
+    n = 16384
+    pre = field.ints_to_mont_limbs(
+        [int(v) for v in rng.integers(0, 2 ** 62, 8 * n)]).reshape(8, n, L)
+    got = np.asarray(jax.jit(
+        lambda v: mxu_ntt_any(field, v, n))(pre))
+    want = np.asarray(be_np._fft_padded(pre, n))
+    m1 = bool(np.array_equal(got, want))
+    got_i = np.asarray(jax.jit(
+        lambda v: mxu_ntt_any(field, v, n, inverse=True))(pre))
+    want_i = np.asarray(be_np._ifft(pre, n))
+    m2 = bool(np.array_equal(got_i, want_i))
+    ok &= m1 and m2
+    log(f"mxu split n={n}: fwd {'OK' if m1 else 'MISMATCH'}, "
+        f"inv {'OK' if m2 else 'MISMATCH'}")
+
     log("ALL OK" if ok else "FAILURES PRESENT")
     sys.exit(0 if ok else 1)
 

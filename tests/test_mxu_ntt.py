@@ -92,3 +92,42 @@ def test_fused_stage_matches_loop_form():
                                 data_left=True)
     for a, b in zip(loop, fused):
         assert np.array_equal(a, b)
+
+
+def test_radix2_split_math_matches_domain_ops():
+    """The Cooley-Tukey split wrapper's math (even/odd leaves, Montgomery
+    twiddle combine, per-level inverse 1/2 via extra_shift, canon_out
+    threading) replayed with numpy leaves — bit-compared to DomainOps."""
+    from ligero_tpu.engine.mxu_ntt import _split_twiddles, mxu_ntt_numpy
+
+    fk = FieldKernel(F, np)
+    leaf = 512
+
+    def np_split(x, n, inverse, canon_out, shift):
+        if n <= leaf:
+            return mxu_ntt_numpy(F, x, n, inverse, canon_out,
+                                  extra_shift=shift)
+        half = n // 2
+        sub = shift + (1 if inverse else 0)
+        e = np_split(x[:, 0::2], half, inverse, canon_out, sub)
+        o = np_split(x[:, 1::2], half, inverse, canon_out, sub)
+        tw = _split_twiddles(F.name, n, inverse)[None]
+        t_o = fk.mont_mul(o, np.broadcast_to(tw, o.shape))
+        return np.concatenate([fk.add(e, t_o), fk.sub(e, t_o)], axis=1)
+
+    rng = np.random.default_rng(11)
+    for n in (1024, 2048):
+        dom = DomainOps(fk, n)
+        x = F.ints_to_mont_limbs(
+            [int(v) % F.p for v in rng.integers(0, 2 ** 63, 2 * n)]
+        ).reshape(2, n, F.num_limbs)
+        assert np.array_equal(np_split(x, n, False, False, 0),
+                              np.asarray(dom.fft_padded(x)))
+        assert np.array_equal(np_split(x, n, True, False, 0),
+                              np.asarray(dom.ifft(x)))
+        # canonical epilogue through the split
+        mont = np.asarray(dom.fft_padded(x))
+        ref = F.ints_to_limbs(
+            F.mont_limbs_to_ints(mont.reshape(-1, F.num_limbs))
+        ).reshape(mont.shape)
+        assert np.array_equal(np_split(x, n, False, True, 0), ref)
