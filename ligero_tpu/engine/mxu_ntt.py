@@ -80,7 +80,8 @@ def _int_to_limbs7(v: int) -> list[int]:
 
 @functools.lru_cache(maxsize=None)
 def _const_data(field_name: str, n: int, inverse: bool,
-                canon_out: bool = False, extra_shift: int = 0):
+                canon_out: bool = False, extra_shift: int = 0,
+                post_root_n: int = 0):
     """Constant tensors (all numpy):
 
     w2_7: (L7, n2, n2) int8 — Montgomery W2[a,b] = w_{n2}^{ab} * R
@@ -91,6 +92,12 @@ def _const_data(field_name: str, n: int, inverse: bool,
           fused from-mont epilogue of the commit path; * 2^-extra_shift
           for the Cooley-Tukey split wrapper's inverse normalization),
           16-bit limbs
+
+    ``post_root_n``: when nonzero, additionally multiply output k by
+    w_{post_root_n}^{±k} — the Cooley-Tukey split's odd-branch twiddle,
+    folded at zero runtime cost: the output index k = k2 + n2*k1 makes
+    the factor separable, w^{k2} joins the stage-2 twiddle (indexed by
+    k2) and w^{n2*k1} row-scales the stage-3 matrix (indexed by k1).
     """
     field = FIELDS[field_name]
     p = field.p
@@ -101,12 +108,21 @@ def _const_data(field_name: str, n: int, inverse: bool,
         omega = pow(omega, -1, p)
     w1, w2 = pow(omega, n2, p), pow(omega, n1, p)
     R = field.R
+    omega_post = 1
+    if post_root_n:
+        omega_post = field.root_of_unity(post_root_n)
+        if inverse:
+            omega_post = pow(omega_post, -1, p)
 
-    def mat7(w, size):
+    def mat7(w, size, out_scale_base=1):
+        # stage 3 contracts W1's FIRST index (dot(d_exp, w1)), so the
+        # output index k1 is the SECOND index b — the post-twiddle's
+        # w^{n2*k1} factor scales columns
         arr = np.zeros((L7, size, size), np.int8)
-        for a in range(size):
-            for b in range(size):
-                v = pow(w, (a * b) % size, p) * R % p
+        for b in range(size):
+            cs = pow(out_scale_base, b, p)
+            for a in range(size):
+                v = pow(w, (a * b) % size, p) * cs % p * R % p
                 for l, limb in enumerate(_int_to_limbs7(v)):
                     arr[l, a, b] = limb
         return arr
@@ -118,12 +134,14 @@ def _const_data(field_name: str, n: int, inverse: bool,
         extra = extra * pow(pow(2, extra_shift, p), -1, p) % p
     t16 = np.zeros((L, n2, n1), np.uint32)
     for k2 in range(n2):
+        post = pow(omega_post, k2, p)
         for j1 in range(n1):
-            v = pow(omega, (j1 * k2) % n, p) * R % p * extra % p
+            v = pow(omega, (j1 * k2) % n, p) * post % p * R % p * extra % p
             for q in range(L):
                 t16[q, k2, j1] = (v >> (16 * q)) & MASK16
 
-    return mat7(w2, n2), mat7(w1, n1), t16
+    w1_scale = pow(omega_post, n2, p) if post_root_n else 1
+    return mat7(w2, n2), mat7(w1, n1, w1_scale), t16
 
 
 def _np_dot_i32(a, b):
@@ -326,11 +344,12 @@ FUSED_MAX_N = 8192
 
 @functools.lru_cache(maxsize=None)
 def _const_data_exec(field_name: str, n: int, inverse: bool,
-                     canon_out: bool = False, extra_shift: int = 0):
+                     canon_out: bool = False, extra_shift: int = 0,
+                     post_root_n: int = 0):
     """Execution-form constants: fused single-matmul stage matrices when
     they fit VMEM, the per-m loop form otherwise."""
     w2_7, w1_7, t16 = _const_data(field_name, n, inverse, canon_out,
-                                  extra_shift)
+                                  extra_shift, post_root_n)
     if n <= FUSED_MAX_N:
         return _fuse_w_right(w2_7), _fuse_w_left(w1_7), t16, True
     return w2_7, w1_7, t16, False
@@ -362,7 +381,8 @@ def _row_core(xp, dot, x16, consts, field: FieldSpec):
 
 
 def mxu_ntt_numpy(field: FieldSpec, x, n: int, inverse: bool = False,
-                  canon_out: bool = False, extra_shift: int = 0):
+                  canon_out: bool = False, extra_shift: int = 0,
+                  post_root_n: int = 0):
     """Exact numpy execution of the kernel's integer path.
 
     ``x``: (B, n, L) uint32 Montgomery limbs -> same shape, transformed.
@@ -371,7 +391,7 @@ def mxu_ntt_numpy(field: FieldSpec, x, n: int, inverse: bool = False,
     n1, n2 = split_n(n)
     L = field.num_limbs
     consts = _const_data_exec(field.name, n, inverse, canon_out,
-                              extra_shift)
+                              extra_shift, post_root_n)
     out = np.empty_like(x)
     for r in range(x.shape[0]):
         xt = np.ascontiguousarray(
@@ -386,7 +406,8 @@ ROW_TILE = 1  # batch rows per kernel instance (VMEM-bound)
 
 @functools.lru_cache(maxsize=None)
 def _mxu_kernel_factory(field_name: str, n: int, inverse: bool,
-                        canon_out: bool = False, extra_shift: int = 0):
+                        canon_out: bool = False, extra_shift: int = 0,
+                        post_root_n: int = 0):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -396,7 +417,8 @@ def _mxu_kernel_factory(field_name: str, n: int, inverse: bool,
     L = field.num_limbs
     n1, n2 = split_n(n)
     w2c, w1c, t16, fused = _const_data_exec(field_name, n, inverse,
-                                            canon_out, extra_shift)
+                                            canon_out, extra_shift,
+                                            post_root_n)
 
     def dot_i32(a, b):
         return jax.lax.dot(a, b, preferred_element_type=jnp.int32
@@ -442,7 +464,8 @@ def _mxu_kernel_factory(field_name: str, n: int, inverse: bool,
 
 
 def mxu_ntt_pallas(field: FieldSpec, x, n: int, inverse: bool = False,
-                   canon_out: bool = False, extra_shift: int = 0):
+                   canon_out: bool = False, extra_shift: int = 0,
+                   post_root_n: int = 0):
     """Batched MXU NTT on (B, n, L) Montgomery arrays (natural order
     in/out; no bit-reversal needed for the four-step algorithm)."""
     import jax.numpy as jnp
@@ -458,7 +481,7 @@ def mxu_ntt_pallas(field: FieldSpec, x, n: int, inverse: bool = False,
     # (B, n, L) -> (B, L, n2, n1) -> (B, L*n2, n1)
     xt = jnp.transpose(x.reshape(B, n2, n1, L), (0, 3, 1, 2))
     run = _mxu_kernel_factory(field.name, n, inverse, canon_out,
-                              extra_shift)
+                              extra_shift, post_root_n)
     out = run(xt.reshape(B, L * n2, n1))  # (B, L*n1, n2)
     return jnp.transpose(out.reshape(B, L, n), (0, 2, 1))
 
@@ -515,10 +538,16 @@ def mxu_ntt_split_pallas(field: FieldSpec, x, n: int, inverse: bool = False,
     sub_shift = extra_shift + (1 if inverse else 0)
     e = mxu_ntt_split_pallas(field, x[:, 0::2, :], half, inverse,
                              canon_out, sub_shift)
-    o = mxu_ntt_split_pallas(field, x[:, 1::2, :], half, inverse,
-                             canon_out, sub_shift)
-    tw = jnp.asarray(_split_twiddles(field.name, n, inverse))
-    t_o = mont_mul_pallas(field, o, tw[None])
+    if mxu_ok(half):
+        # leaf level: the odd branch's w_n^{k} twiddle folds into the
+        # leaf kernel's constants (post_root_n) — no separate multiply
+        t_o = mxu_ntt_pallas(field, x[:, 1::2, :], half, inverse,
+                             canon_out, sub_shift, post_root_n=n)
+    else:
+        o = mxu_ntt_split_pallas(field, x[:, 1::2, :], half, inverse,
+                                 canon_out, sub_shift)
+        tw = jnp.asarray(_split_twiddles(field.name, n, inverse))
+        t_o = mont_mul_pallas(field, o, tw[None])
     fk = FieldKernel(field, jnp, unroll=False)
     return jnp.concatenate([fk.add(e, t_o), fk.sub(e, t_o)], axis=1)
 

@@ -131,3 +131,29 @@ def test_radix2_split_math_matches_domain_ops():
             F.mont_limbs_to_ints(mont.reshape(-1, F.num_limbs))
         ).reshape(mont.shape)
         assert np.array_equal(np_split(x, n, False, True, 0), ref)
+
+
+def test_post_root_folding_matches_explicit_twiddle():
+    """post_root_n folds the split's odd-branch twiddle w_{2n}^{k} into
+    the leaf constants (stage-2 twiddle x stage-3 column scale) — must
+    equal NTT followed by an explicit Montgomery twiddle multiply."""
+    from ligero_tpu.engine.mxu_ntt import _split_twiddles, mxu_ntt_numpy
+
+    fk = FieldKernel(F, np)
+    n, parent = 512, 1024
+    rng = np.random.default_rng(23)
+    x = F.ints_to_mont_limbs(
+        [int(v) % F.p for v in rng.integers(0, 2 ** 63, 2 * n)]
+    ).reshape(2, n, F.num_limbs)
+    for inverse in (False, True):
+        plain = mxu_ntt_numpy(F, x, n, inverse=inverse)
+        tw = _split_twiddles(F.name, parent, inverse)[None]
+        want = fk.mont_mul(plain, np.broadcast_to(tw, plain.shape))
+        got = mxu_ntt_numpy(F, x, n, inverse=inverse, post_root_n=parent)
+        assert np.array_equal(got, want)
+    # composes with the canonical epilogue
+    plain = mxu_ntt_numpy(F, x, n, canon_out=True)
+    tw = _split_twiddles(F.name, parent, False)[None]
+    want = fk.mont_mul(plain, np.broadcast_to(tw, plain.shape))
+    got = mxu_ntt_numpy(F, x, n, canon_out=True, post_root_n=parent)
+    assert np.array_equal(got, want)
