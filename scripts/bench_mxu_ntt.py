@@ -91,8 +91,9 @@ def main():
 
     import jax
 
-    from ligero_tpu.engine.mxu_ntt import mxu_ntt_pallas, split_n
-    from ligero_tpu.engine.pallas_ntt import ntt_pallas
+    from ligero_tpu.engine.mxu_ntt import mxu_ntt_any as mxu_ntt_pallas
+    from ligero_tpu.engine.mxu_ntt import split_n
+    from ligero_tpu.engine.pallas_ntt import ntt_pallas_any as ntt_pallas
     from ligero_tpu.fields import BN254_FR
 
     field = BN254_FR
