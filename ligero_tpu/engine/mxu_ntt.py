@@ -530,8 +530,10 @@ def mxu_ntt_split_pallas(field: FieldSpec, x, n: int, inverse: bool = False,
 
     if mxu_ok(n):
         return mxu_ntt_pallas(field, x, n, inverse, canon_out, extra_shift)
-    if n > MXU_SPLIT_MAX_N:
-        raise ValueError(f"n={n} past the MXU split bound {MXU_SPLIT_MAX_N}")
+    if not mxu_any_ok(n):
+        raise ValueError(
+            f"n={n} outside every MXU route (need 2048 <= n <= "
+            f"{MXU_SPLIT_MAX_N}); use pallas_ntt.ntt_pallas_any instead")
     half = n // 2
     # the inverse's 1/n = (1/2) * (1/half): fold this level's 1/2 into
     # the sub-transforms' stage-2 constants (zero extra compute)
