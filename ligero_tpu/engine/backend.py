@@ -1067,7 +1067,14 @@ class Backend:
 
         def run(vals, rids, cids, r, y0, y1):
             xp = self.xp
-            prod = self.fk.mont_mul(vals, xp.take(r, rids, axis=0))
+            gathered = xp.take(r, rids, axis=0)
+            if self.use_pallas_ntt:
+                # Pallas Montgomery products (~6x the XLA limb graph at
+                # these nnz sizes; bit-identical — canonical output)
+                from .pallas_kernels import mont_mul_pallas
+                prod = mont_mul_pallas(self.field, vals, gathered)
+            else:
+                prod = self.fk.mont_mul(vals, gathered)
             if self.use_jax:
                 sums = self._jax.ops.segment_sum(
                     prod, cids, num_segments=num_cols,
