@@ -147,6 +147,7 @@ def _attach_recorded(result: dict) -> None:
                                             "atscale_r2g.json",
                                             "atscale_r2d.json")),
                        ("cold_start", ("atscale_r3_cold.json",)),
+                       ("at_scale_2pow21", ("atscale_r3_2pow21.json",)),
                        ("at_scale_sync_attribution", ("atscale_r3_sync.json",)),
                        ("streaming_at_scale", ("atscale_streaming_r3.json",
                                                "atscale_streaming.json")),
