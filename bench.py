@@ -158,7 +158,8 @@ def _attach_recorded(result: dict) -> None:
                        ("core_pieces", ("core_pieces_r3b.json",
                                         "core_pieces.json")),
                        ("mxu_ntt", ("mxu_bench_r3.json",
-                                    "mxu_ntt_bench.json"))):
+                                    "mxu_ntt_bench.json")),
+                       ("mxu_ntt_16384", ("mxu_bench_16384.json",))):
         for name in names:
             path = os.path.join(here, name)
             if os.path.exists(path):
