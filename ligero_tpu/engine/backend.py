@@ -1065,7 +1065,7 @@ class Backend:
         y0 = self.field.ints_to_limbs([self.field.to_mont(1)])[0]
         y1 = self.field.ints_to_limbs([self.field.to_mont(1 << 16)])[0]
 
-        def run(vals, rids, cids, r, y0, y1):
+        def raw_sums(vals, rids, cids, r):
             xp = self.xp
             gathered = xp.take(r, rids, axis=0)
             if self.use_pallas_ntt:
@@ -1076,21 +1076,54 @@ class Backend:
             else:
                 prod = self.fk.mont_mul(vals, gathered)
             if self.use_jax:
-                sums = self._jax.ops.segment_sum(
+                return self._jax.ops.segment_sum(
                     prod, cids, num_segments=num_cols,
                     indices_are_sorted=True)
-            else:
-                sums = np.zeros((num_cols, prod.shape[-1]), np.uint32)
-                np.add.at(sums, cids, prod)
-            lo, hi = sums & np.uint32(0xFFFF), sums >> np.uint32(16)
-            L = prod.shape[-1]
-            return self.fk.add(
-                self.fk.mont_mul(lo, xp.broadcast_to(y0, (num_cols, L))),
-                self.fk.mont_mul(hi, xp.broadcast_to(y1, (num_cols, L))))
+            sums = np.zeros((num_cols, prod.shape[-1]), np.uint32)
+            np.add.at(sums, cids, prod)
+            return sums
 
-        fn = self._jit(("sparse_rA", int(rowids.shape[0]), num_cols), run)
-        return fn(vals_mont, rowids, colids, r_mont,
-                  self.asarray(y0), self.asarray(y1))
+        def fold(sums):
+            xp = self.xp
+            L = sums.shape[-1]
+            lo, hi = sums & np.uint32(0xFFFF), sums >> np.uint32(16)
+            return self.fk.add(
+                self.fk.mont_mul(lo, xp.broadcast_to(self.asarray(y0),
+                                                     (num_cols, L))),
+                self.fk.mont_mul(hi, xp.broadcast_to(self.asarray(y1),
+                                                     (num_cols, L))))
+
+        nnz = int(rowids.shape[0])
+        # chunk so the (nnz, L)-sized product/gather temporaries stay
+        # bounded (~4 buffers x nnz x 64 B — 4 GB at the 2^21 scale,
+        # which OOMed the resident prover; see atscale_21.log)
+        chunk = 1 << 22
+        if not self.use_jax or nnz <= chunk:
+            def run_all(vals, rids, cids, r):
+                return fold(raw_sums(vals, rids, cids, r))
+            fn = self._jit(("sparse_rA", nnz, num_cols), run_all)
+            return fn(vals_mont, rowids, colids, r_mont)
+
+        sums_fn = self._jit(("sparse_rA_chunk", chunk, num_cols), raw_sums)
+        acc = None
+        for i in range(0, nnz, chunk):
+            v = vals_mont[i:i + chunk]
+            ri = rowids[i:i + chunk]
+            ci = colids[i:i + chunk]
+            cnt = int(v.shape[0])
+            if cnt < chunk:  # zero-value padding contributes nothing
+                xp = self.xp
+                v = xp.concatenate(
+                    [v, xp.zeros((chunk - cnt, v.shape[1]), np.uint32)])
+                ri = xp.concatenate(
+                    [ri, xp.zeros((chunk - cnt,), ri.dtype)])
+                # pad with the LAST column id: zero values contribute
+                # nothing and the ids stay sorted for segment_sum
+                ci = xp.concatenate(
+                    [ci, xp.full((chunk - cnt,), num_cols - 1, ci.dtype)])
+            part = sums_fn(v, ri, ci, r_mont)
+            acc = part if acc is None else acc + part  # exact u32 sums
+        return self._jit(("sparse_rA_fold", num_cols), fold)(acc)
 
     # ------------------------------------------------------------------
     # host <-> device value conversion helpers

@@ -227,6 +227,47 @@ class _FieldVm:
                 acc[j + 1] = acc[j + 1] + (prod[j] >> np.uint32(16))
         return self.redc_cols(acc, L)
 
+    def mont_mul_cios(self, a, b):
+        """CIOS-interleaved Montgomery product: one REDC step follows
+        each product row, so the live accumulator stays L+2 blocks wide
+        instead of 2L (less VMEM pressure inside the Pallas kernel).
+
+        Bit-identical to :meth:`mont_mul` — both emit the unique
+        canonical representative of a*b*R^-1 (tested).  Bounds: each
+        accumulator block gains at most 4*(2^16-1) per iteration and
+        lives <= L+1 iterations before the shift consumes it, so blocks
+        stay < 2^23; the final value is < 2p (the standard CIOS bound),
+        which carry-normalizes into L limbs + a dead top."""
+        xp, L = self.xp, self.L
+        mask = np.uint32(MASK16)
+        sixteen = np.uint32(16)
+        zero = xp.zeros(a.shape[1:], np.uint32)
+        acc = [zero] * (L + 2)
+        for i in range(L):
+            for j in range(L):
+                prod = a[j] * b[i]
+                acc[j] = acc[j] + (prod & mask)
+                acc[j + 1] = acc[j + 1] + (prod >> sixteen)
+            m = (acc[0] * self.n16) & mask
+            mp = [m * pj for pj in self.p_scalars]
+            carry0 = (acc[0] + (mp[0] & mask)) >> sixteen
+            nxt = acc[1:] + [zero]
+            nxt[0] = nxt[0] + carry0
+            for j in range(1, L):
+                nxt[j - 1] = nxt[j - 1] + (mp[j] & mask) \
+                    + (mp[j - 1] >> sixteen)
+            nxt[L - 1] = nxt[L - 1] + (mp[L - 1] >> sixteen)
+            acc = nxt
+        # value now < 2p over L+2 blocks: after one carry pass the top
+        # two limbs are zero (2p < 2^255), so L limbs + condsub finish it
+        c = zero
+        norm = []
+        for j in range(L):
+            t = acc[j] + c
+            norm.append(t & mask)
+            c = t >> sixteen
+        return self.normalize_condsub(norm)
+
 
 def _stage_matmul(xp, dot, w7, d7_blocks, data_left: bool):
     """One four-step DFT stage as L7 int8 matmuls + shifted accumulate.
@@ -369,8 +410,9 @@ def _row_core(xp, dot, x16, consts, field: FieldSpec):
     cols7 = sm(xp, dot, w2c, d7, data_left=False)
     b16 = fv.redc_cols(_regroup_7_to_16(xp, cols7), REDC_STEPS)
 
-    # stage 2: pointwise twiddle (T'' carries R*2^32 [*n^-1])
-    c16 = fv.mont_mul(b16, xp.asarray(t16))
+    # stage 2: pointwise twiddle (T'' carries R*2^32 [*n^-1]); CIOS
+    # keeps the live accumulator at L+2 blocks instead of 2L
+    c16 = fv.mont_mul_cios(b16, xp.asarray(t16))
 
     # stage 3: E^T = C^T @ W1  (data left, limbs in the contraction)
     d7 = _limbs16_to_7(xp, c16)

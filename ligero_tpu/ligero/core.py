@@ -899,7 +899,17 @@ class LigeroCircuit:
         # resident U + coeffs must leave HBM headroom for the commit /
         # product transients; beyond the budget, spill to host streaming.
         # Chunks are stored as uint16 (Backend.narrow16) — 2 bytes/limb.
-        resident_fits = (total + four_m * k * L * 4) // 2 <= _resident_budget()
+        # The device COO of A (linear phase) is resident too: nnz *
+        # (2 x int32 ids + L u32 limbs) — ~1.1 GB at the 2^21 scale,
+        # whose omission OOMed the resident prover (atscale_21.log).
+        nnz = len(self._a_fast.to_coo()[2]) if hasattr(
+            self, "_a_fast") and self._a_fast is not None else 0
+        coo_bytes = nnz * (8 + L * 4)
+        # linear-phase transient: the 2k-wide challenge/product rows
+        # (~3 live n-sized u32 copies during linear_combination_poly)
+        linear_peak = 3 * four_m * 2 * k * L * 4
+        resident_fits = ((total + four_m * k * L * 4) // 2 + coo_bytes
+                         + linear_peak <= _resident_budget())
         if (getattr(be, "resident_ok", False) and resident_fits
                 and getattr(be, "resident_u_ok", True)):
             # single u16 upload of preenc, reused by the interleaved-phase

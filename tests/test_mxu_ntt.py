@@ -157,3 +157,18 @@ def test_post_root_folding_matches_explicit_twiddle():
     want = fk.mont_mul(plain, np.broadcast_to(tw, plain.shape))
     got = mxu_ntt_numpy(F, x, n, canon_out=True, post_root_n=parent)
     assert np.array_equal(got, want)
+
+
+def test_cios_mont_mul_matches_sos():
+    """The CIOS-interleaved Montgomery product is bit-identical to the
+    separate product+REDC formulation (canonical output is unique)."""
+    from ligero_tpu.engine.mxu_ntt import _FieldVm
+
+    fv = _FieldVm(np, F)
+    rng = np.random.default_rng(31)
+    vals = [int(v) % F.p for v in rng.integers(0, 2 ** 63, 2 * 512)]
+    vals[:6] = [0, 1, F.p - 1, F.p - 1, 1, 0]
+    limbs = F.ints_to_mont_limbs(vals).reshape(2, 4, 128, F.num_limbs)
+    a = np.ascontiguousarray(limbs[0].transpose(2, 0, 1))  # (L, 4, 128)
+    b = np.ascontiguousarray(limbs[1].transpose(2, 0, 1))
+    assert np.array_equal(fv.mont_mul_cios(a, b), fv.mont_mul(a, b))
