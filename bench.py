@@ -220,6 +220,10 @@ def main():
             "pipeline (5e6 RS elems/s/host); the reference publishes no "
             "numbers (BASELINE.md) and no Rust toolchain exists here to "
             "measure it"),
+        # sensitivity: vs_baseline >= 1.0 iff the true Rust host
+        # throughput is below value/10; this states the break-even point
+        # so the 10x claim is auditable against any future measurement
+        "baseline_breakeven_rust_elems_per_s": round(value / TARGET_MULTIPLIER),
         "config": {"rows_4m": four_m, "k": k, "n": 8 * k,
                    "platform": platform, "step_s": round(step_s, 4),
                    "compile_s": round(compile_s, 1), "canary": canary},

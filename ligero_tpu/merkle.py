@@ -27,20 +27,23 @@ class MerklePath:
     leaf_sibling_hash: bytes
     auth_path: list[bytes]  # ordered from the root's child level downwards
 
-    def verify(self, root: bytes, leaf: bytes) -> bool:
-        """ark ``Path::verify`` with the identity leaf hasher."""
+    def verify(self, root: bytes, leaf: bytes, two_to_one=sha256_compress) -> bool:
+        """ark ``Path::verify`` with the identity leaf hasher.
+
+        ``two_to_one`` swaps the inner-node hasher (LigeroMTParams
+        genericity, reference types.rs:15-46); default SHA-256."""
         index = self.leaf_index
         sibling = self.leaf_sibling_hash
         if index & 1 == 0:
-            node = sha256_compress(leaf, sibling)
+            node = two_to_one(leaf, sibling)
         else:
-            node = sha256_compress(sibling, leaf)
+            node = two_to_one(sibling, leaf)
         index >>= 1
         for level_sibling in reversed(self.auth_path):
             if index & 1 == 0:
-                node = sha256_compress(node, level_sibling)
+                node = two_to_one(node, level_sibling)
             else:
-                node = sha256_compress(level_sibling, node)
+                node = two_to_one(level_sibling, node)
             index >>= 1
         return node == root
 
@@ -48,7 +51,8 @@ class MerklePath:
 class MerkleTree:
     """Tree over a power-of-two list of 32-byte leaf digests."""
 
-    def __init__(self, leaves: list[bytes], inner_levels: list[list[bytes]] | None = None):
+    def __init__(self, leaves: list[bytes], inner_levels: list[list[bytes]] | None = None,
+                 two_to_one=sha256_compress):
         n = len(leaves)
         assert n >= 2 and n & (n - 1) == 0, "leaf count must be a power of two >= 2"
         self.leaves = list(leaves)
@@ -56,7 +60,7 @@ class MerkleTree:
             levels = []
             cur = self.leaves
             while len(cur) > 1:
-                cur = [sha256_compress(cur[2 * i], cur[2 * i + 1])
+                cur = [two_to_one(cur[2 * i], cur[2 * i + 1])
                        for i in range(len(cur) // 2)]
                 levels.append(cur)
             self.levels = levels  # levels[0] just above leaves, levels[-1] = [root]
@@ -79,11 +83,11 @@ class MerkleTree:
         return MerklePath(leaf_index=index, leaf_sibling_hash=sibling, auth_path=auth)
 
 
-def create_merkle_tree(leaves: list[bytes]) -> MerkleTree:
+def create_merkle_tree(leaves: list[bytes], two_to_one=sha256_compress) -> MerkleTree:
     """ark-poly-commit ``create_merkle_tree``: pad to a power of two with
     default (empty) leaves, then build."""
     n = len(leaves)
     target = 1 if n == 0 else 1 << (n - 1).bit_length()
     if target != n:
         leaves = list(leaves) + [b""] * (target - n)
-    return MerkleTree(leaves)
+    return MerkleTree(leaves, two_to_one=two_to_one)

@@ -157,13 +157,21 @@ def make_prover_core(field: FieldSpec, four_m: int, k: int, n: int,
 
 
 def make_sharded_prover_core(field: FieldSpec, mesh, four_m: int, k: int, n: int,
-                             unroll: bool | None = None):
+                             unroll: bool | None = None,
+                             stage: str = "full"):
     """Mesh-sharded prover core over a 1-D device mesh axis ``"rows"``.
 
     Row blocks of preenc/U are sharded across chips; the commitment phase
     re-shards to columns with an all_to_all.  Returns a function suitable
     for ``jax.jit`` whose inputs/outputs are globally-shaped arrays with
     sharding constraints applied internally via shard_map.
+
+    ``stage`` truncates the pipeline for per-phase attribution
+    (scripts/attribute_scaling.py): ``"encode"`` (per-chip RS encode, no
+    collectives), ``"encode+a2a"`` (+ the row->column all_to_all),
+    ``"encode+a2a+hash"`` (+ column Blake2s + local subtree), ``"full"``
+    (+ gathered tree top + challenge combination) — each stage's output
+    is materialized so the work cannot be dead-code-eliminated.
     """
     import jax
     import jax.numpy as jnp
@@ -196,6 +204,8 @@ def make_sharded_prover_core(field: FieldSpec, mesh, four_m: int, k: int, n: int
         coeffs = dom_k.ifft(preenc_block)
         u_evals = dom_n.fft_padded(coeffs)          # (4m/D, n, L)
         u_canon = fk.from_mont(u_evals)             # (canonical; returned)
+        if stage == "encode":
+            return (u_canon,)
 
         # ---- row-shard -> column-shard over ICI
         # (4m/D, n, L) -> split n into D chunks -> all_to_all -> (4m, n/D, L)
@@ -205,6 +215,8 @@ def make_sharded_prover_core(field: FieldSpec, mesh, four_m: int, k: int, n: int
             "rows", split_axis=1, concat_axis=0, tiled=False)
         # all_to_all with split/concat: result (D, 4m/D, n/D, L) gathered
         u_cs = u_cs.reshape(four_m, n // num_devices, L)
+        if stage == "encode+a2a":
+            return (u_canon, u_cs)
 
         # ---- hash the local columns, reduce the local Merkle subtree
         words, byte_len = _column_words(jnp, u_cs, four_m, L)
@@ -213,6 +225,8 @@ def make_sharded_prover_core(field: FieldSpec, mesh, four_m: int, k: int, n: int
         while level.shape[0] > 1:
             level = hk.sha256_two_to_one(level[0::2], level[1::2])
         subtree_root = level                          # (1, 8)
+        if stage == "encode+a2a+hash":
+            return (u_canon, leaves_le, subtree_root)
 
         # ---- finish the top log2(D) levels redundantly on every chip
         roots = jax.lax.all_gather(subtree_root[0], "rows")  # (D, 8)
@@ -230,13 +244,19 @@ def make_sharded_prover_core(field: FieldSpec, mesh, four_m: int, k: int, n: int
 
     spec_rows = P("rows", None, None)
     spec_cols_leaf = P("rows", None)
+    out_specs = {
+        "encode": (spec_rows,),
+        "encode+a2a": (spec_rows, P(None, "rows", None)),
+        "encode+a2a+hash": (spec_rows, spec_cols_leaf, P("rows", None)),
+        "full": (spec_rows,          # U row-sharded
+                 spec_cols_leaf,     # leaves column-sharded
+                 P(),                # root replicated
+                 P()),               # lc replicated
+    }[stage]
     kwargs = dict(
         mesh=mesh,
         in_specs=(spec_rows, P("rows", None)),
-        out_specs=(spec_rows,          # U row-sharded
-                   spec_cols_leaf,     # leaves column-sharded
-                   P(),                # root replicated
-                   P()),               # lc replicated
+        out_specs=out_specs,
     )
     # scan carries seeded with replicated zeros become device-varying inside
     # the body; skip the varying-manual-axes check rather than pcast every
