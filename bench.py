@@ -155,6 +155,7 @@ def _attach_recorded(result: dict) -> None:
                                         "atscale_zk.json")),
                        ("fourstep_ntt", ("fourstep_ntt_validation.json",)),
                        ("scaling_methodology", ("scaling.json",)),
+                       ("scaling_attribution", ("scaling_attrib.json",)),
                        ("core_pieces", ("core_pieces_r3b.json",
                                         "core_pieces.json")),
                        ("mxu_ntt", ("mxu_bench_r3.json",

@@ -463,15 +463,51 @@ class Backend:
         chunk = max(8, self.MAX_DEVICE_BYTES // (n * self.field.num_limbs * 4))
         chunk &= ~1
         chunk = max(chunk, 2)
+        src, xpu = self._rows_source(rows_coeffs)
         chunks = []
         for i in range(0, rows, chunk):
-            blk = np.ascontiguousarray(rows_coeffs[i:i + chunk])
+            blk = src[i:i + chunk]
             r = blk.shape[0]
             if r < chunk:
-                blk = np.concatenate(
-                    [blk, np.zeros((chunk - r, w, L), blk.dtype)])
-            chunks.append(self.asarray(blk.astype(np.uint16, copy=False)))
+                blk = xpu.concatenate(
+                    [blk, xpu.zeros((chunk - r, w, L), blk.dtype)])
+            if xpu is np:
+                chunks.append(self.asarray(
+                    np.ascontiguousarray(blk).astype(np.uint16, copy=False)))
+            else:
+                chunks.append(self.narrow16(blk))
         return RowChunkedMatrix(chunks, rows, chunk)
+
+    def _encode_block_canon(self, coeff_blk, k: int, n: int):
+        """(rows, w<=n, L) Montgomery coefficient block -> (rows, n, L)
+        canonical codewords: the ONE re-encode program both streaming
+        consumers (commit absorb + opening gather) share.  Routed like the
+        resident encode: MXU four-step first (cold-compile ~30 s at
+        n=8192 vs ~610 s for the radix-2 Pallas kernel — the round-3
+        streaming cold commit was paying that compile per chunk shape),
+        then radix-2 Pallas, then the XLA domain fallback."""
+        xp = self.xp
+        blk = self._widen(coeff_blk)
+        w = blk.shape[-2]
+        if w < n:
+            blk = xp.concatenate(
+                [blk, xp.zeros(blk.shape[:-2] + (n - w, blk.shape[-1]),
+                               np.uint32)], axis=-2)
+        if self._use_mxu(n):
+            from .mxu_ntt import mxu_ntt_any
+            return mxu_ntt_any(self.field, blk, n, canon_out=True)
+        if self._pallas_ok(n):
+            from .pallas_ntt import ntt_pallas_any as ntt_pallas
+            return ntt_pallas(self.field, blk, n, from_mont_out=True)
+        return self._from_mont_chunked(self._fft_padded(blk, n))
+
+    def _stream_encode(self, chunk, k: int, n: int):
+        """Jitted shared re-encode of one coefficient chunk (keyed only on
+        the chunk shape and n, so the first/middle/tail commit steps and
+        the opening gather all hit the same executable)."""
+        fn = self._jit(("stream_encode", chunk.shape, n),
+                       lambda c: self._encode_block_canon(c, k, n))
+        return fn(chunk)
 
     def commit_columns_streaming(self, sc: StreamedCodewords):
         """Column commitment without materializing U: re-encode each
@@ -481,7 +517,10 @@ class Backend:
         Bit-identical to :meth:`commit_columns` on the materialized matrix
         (same serialization: u64-LE element-count prefix + 32-byte LE
         canonical elements down each column; tested).  Peak HBM: one
-        (chunk, n, L) codeword block + (n, 8) states."""
+        (chunk, n, L) codeword block + (n, 8) states.  The re-encode and
+        the absorb are separate executables so the expensive NTT compile
+        is shared with the opening gather and across chunk variants (the
+        round-3 cold commit compiled it per (first/middle/tail) step)."""
         xp = self.xp
         rows, n, L = sc.shape
         rcm = sc.coeffs
@@ -491,18 +530,8 @@ class Backend:
         prefix[0] = rows & 0xFFFFFFFF
         prefix[1] = rows >> 32
 
-        def make_step(r_c: int, first: bool):
-            def step(coeff_blk, h_, carry_, t0_):
-                blk = self._widen(coeff_blk)
-                if self._pallas_ok(n):
-                    from .pallas_ntt import ntt_pallas_any as ntt_pallas
-                    padded = xp.concatenate(
-                        [blk, xp.zeros(blk.shape[:-2] + (n - k, L), np.uint32)],
-                        axis=-2)
-                    canon = ntt_pallas(self.field, padded, n,
-                                       from_mont_out=True)
-                else:
-                    canon = self._from_mont_chunked(self._fft_padded(blk, n))
+        def make_absorb(r_c: int, first: bool):
+            def absorb(canon, h_, carry_, t0_):
                 cols = xp.moveaxis(canon[:r_c], 1, 0)           # (n, r_c, L)
                 packed = cols[..., 0::2] | (cols[..., 1::2] << np.uint32(16))
                 words = packed.reshape(n, r_c * words_per_row)
@@ -514,7 +543,7 @@ class Backend:
                     words[:, :16 * nb].reshape(n, nb, 16), 1, 0)
                 h1 = self.hk.blake2s_stream_blocks(h_, blocks, t0_)
                 return h1, words[:, 16 * nb:]
-            return step
+            return absorb
 
         h = self.hk.blake2s_stream_start(n)
         carry = xp.zeros((n, 2), np.uint32)  # ignored by the first step
@@ -522,9 +551,10 @@ class Backend:
         for ci, chunk in enumerate(rcm.chunks):
             r_c = min(rcm.chunk_rows, rows - done)
             done += r_c
-            fn = self._jit(("stream_commit", ci == 0, chunk.shape, r_c, cw, n),
-                           make_step(r_c, ci == 0))
-            h, carry = fn(chunk, h, carry, np.uint32(t0))
+            canon = self._stream_encode(chunk, k, n)
+            fn = self._jit(("stream_absorb", ci == 0, canon.shape, r_c, cw, n),
+                           make_absorb(r_c, ci == 0))
+            h, carry = fn(canon, h, carry, np.uint32(t0))
             total_w = cw + r_c * words_per_row
             nb = total_w // 16
             t0 += 64 * nb
@@ -553,6 +583,14 @@ class Backend:
     def _widen(blk):
         import numpy as _np
         return blk.astype(_np.uint32) if blk.dtype == _np.uint16 else blk
+
+    def _rows_source(self, a):
+        """Row source for the chunked streaming paths: device arrays stay
+        on-device (slice + pad with xp — no host round-trip), host arrays
+        stay host (sliced per-chunk upload)."""
+        if self.use_jax and not isinstance(a, np.ndarray):
+            return a, self.xp
+        return np.asarray(a), np
 
     def _rcm_column_block(self, rcm: RowChunkedMatrix, j0: int, j1: int):
         """All rows x columns [j0, j1) as one device array (rows, j1-j0, L)."""
@@ -585,28 +623,18 @@ class Backend:
         is device-resident."""
         js = np.asarray(js, dtype=np.int64)
         if isinstance(u_canon, StreamedCodewords):
-            # re-encode each coefficient chunk and keep only the opened
-            # columns: one (chunk, n, L) codeword transient at a time
+            # re-encode each coefficient chunk (the SAME executable the
+            # streaming commit compiled) and keep only the opened columns:
+            # one (chunk, n, L) codeword transient at a time
             xp = self.xp
-            n, k, L = u_canon.n, u_canon.coeffs.n, u_canon.L
+            n, k = u_canon.n, u_canon.coeffs.n
             jdev = self.asarray(js.astype(np.int32))
-
-            def take_cols(coeff_blk, j):
-                blk = self._widen(coeff_blk)
-                if self._pallas_ok(n):
-                    from .pallas_ntt import ntt_pallas_any as ntt_pallas
-                    padded = xp.concatenate(
-                        [blk, xp.zeros(blk.shape[:-2] + (n - k, L), np.uint32)],
-                        axis=-2)
-                    canon = ntt_pallas(self.field, padded, n,
-                                       from_mont_out=True)
-                else:
-                    canon = self._from_mont_chunked(self._fft_padded(blk, n))
-                return xp.take(canon, j, axis=1).astype(np.uint16)
-
-            parts = [self.to_numpy(self._jit(
-                ("stream_take", c.shape, n, len(js)), take_cols)(c, jdev))
-                for c in u_canon.coeffs.chunks]
+            take = self._jit(
+                ("stream_gather_cols", u_canon.coeffs.chunks[0].shape[0],
+                 n, len(js)),
+                lambda canon, j: xp.take(canon, j, axis=1).astype(np.uint16))
+            parts = [self.to_numpy(take(self._stream_encode(c, k, n), jdev))
+                     for c in u_canon.coeffs.chunks]
             return np.concatenate(parts, axis=0)[:u_canon.rows].astype(np.uint32)
         if isinstance(u_canon, RowChunkedMatrix):
             xp = self.xp
@@ -813,7 +841,7 @@ class Backend:
         r_is_rcm = isinstance(r_coeffs, RowChunkedMatrix)  # zk prover mixes
         if self.use_jax and B * two_k * L * 4 > self.MAX_DEVICE_BYTES:
             chunk = max(8, self.MAX_DEVICE_BYTES // (two_k * L * 4))
-            u_host = np.asarray(u_coeffs)
+            u_host, xpu = self._rows_source(u_coeffs)
             r_host = None if r_is_rcm else np.asarray(r_coeffs)
             parts = []
             for i in range(0, B, chunk):
@@ -828,9 +856,9 @@ class Backend:
                             [rb, np.zeros((chunk - rb.shape[0],) + rb.shape[1:],
                                           np.uint32)])
                 if ub.shape[0] < chunk:
-                    ub = np.concatenate(
-                        [ub, np.zeros((chunk - ub.shape[0],) + ub.shape[1:],
-                                      np.uint32)])
+                    ub = xpu.concatenate(
+                        [ub, xpu.zeros((chunk - ub.shape[0],) + tuple(ub.shape[1:]),
+                                       ub.dtype)])
                 parts.append(self._jit16(("linq_part", two_k, ub.shape), partial)(ub, rb))
             total = self._jit(("linq_sum", two_k, len(parts)),
                               lambda ps: self.fk.sum_mod(self.xp.stack(ps), axis=0))(parts)
@@ -892,7 +920,8 @@ class Backend:
         if self.use_jax and three_m * two_k * L * 4 > self.MAX_DEVICE_BYTES:
             # chunk <= m: slices must not cross the x/y/z region boundaries
             chunk = min(m, max(8, self.MAX_DEVICE_BYTES // (3 * two_k * L * 4)))
-            xyz_host, r_host = np.asarray(xyz_coeffs), np.asarray(r_quad)
+            xyz_host, xpu = self._rows_source(xyz_coeffs)
+            r_host = np.asarray(r_quad)
             parts = []
             for i in range(0, m, chunk):
                 # slices stop at each region's end — a partial last chunk
@@ -904,8 +933,9 @@ class Backend:
                 rb = r_host[i:end]
                 if xb.shape[0] < chunk:
                     pad = chunk - xb.shape[0]
-                    zpad = np.zeros((pad,) + xb.shape[1:], np.uint32)
-                    xb, yb, zb = (np.concatenate([v, zpad]) for v in (xb, yb, zb))
+                    zpad = xpu.zeros((pad,) + tuple(xb.shape[1:]), xb.dtype)
+                    xb, yb, zb = (xpu.concatenate([v, zpad])
+                                  for v in (xb, yb, zb))
                     rb = np.concatenate(
                         [rb, np.zeros((pad, rb.shape[1]), np.uint32)])
                 parts.append(self._jit16(("quadp_part", two_k, xb.shape), partial)(

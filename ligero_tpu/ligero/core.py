@@ -876,13 +876,23 @@ class LigeroCircuit:
 
         sponge.absorb_bytes(u_root)  # FS #1 (mod.rs:560 / :634)
 
+        overlap = self._open_overlap_ok(u_canon)
         with phase_timer.phase("interleaved"):
             preenc_u_lc, idx1 = self._prove_interleaved(preenc, u_canon, sponge)
+        h1 = self._start_open_async(u_canon, idx1) if overlap else None
         with phase_timer.phase("linear"):
             q, idx2 = self._prove_linear(u_coeffs, sponge)
+        h2 = self._start_open_async(u_canon, idx2) if overlap else None
         with phase_timer.phase("quadratic"):
             p0, idx3 = self._prove_quadratic(u_coeffs, sponge)
-        o1, o2, o3 = self._open_columns_fused(u_canon, tree, (idx1, idx2, idx3))
+        if overlap:
+            h3 = self._start_open_async(u_canon, idx3)
+            o1 = self._finish_open_async(h1, tree)
+            o2 = self._finish_open_async(h2, tree)
+            o3 = self._finish_open_async(h3, tree)
+        else:
+            o1, o2, o3 = self._open_columns_fused(u_canon, tree,
+                                                  (idx1, idx2, idx3))
 
         return LigeroProof(u_root, InterleavedProof(preenc_u_lc, *o1),
                            LinearConstraintsProof(q, *o2),
@@ -980,6 +990,57 @@ class LigeroCircuit:
             out[i:i + r] = be.to_numpy(be.intt(blk, k))[:r]
         return out
 
+    def _zk_blind_rows_device(self, preenc, sub_seed, mask3: np.ndarray):
+        """Blinding + committed-row assembly fully on-device.
+
+        Equivalent to the host path in :meth:`_prove_inner_zk` (same
+        ChaCha20 draws — the device sampler is bit-compared to
+        ``rand_field_elements_limbs``; same exact mod-p subtraction), so
+        proofs are byte-identical (tested).  Returns
+        ``(coeffs (4m, k+b, L), rows (4m+3, d2, L))`` Montgomery device
+        arrays, or None on sampler attempt shortfall (callers fall back
+        to the host path, preserving exactness)."""
+        be, field = self.backend, self.field
+        m, k, b, d2 = self.m, self.k, self.blind_t, self.d2
+        L = field.num_limbs
+        rows4 = 4 * m
+        s_dev = be.rand_field_mont(rows4 * b, sub_seed(b"rows"))
+        if s_dev is None:
+            return None
+        xp = be.xp
+        # iNTT_k of preenc, chunked within the single-buffer budget but
+        # kept device-resident
+        if rows4 * k * L * 4 <= Backend.MAX_DEVICE_BYTES:
+            msg = be.intt(preenc, k)
+        else:
+            chunk = max(8, Backend.MAX_DEVICE_BYTES // (k * L * 4))
+            parts = []
+            for i in range(0, rows4, chunk):
+                blk = preenc[i:i + chunk]
+                r = blk.shape[0]
+                if r < chunk:
+                    blk = np.concatenate(
+                        [blk, np.zeros((chunk - r, k, L), blk.dtype)])
+                parts.append(be.intt(blk, k)[:r])
+            msg = xp.concatenate(parts, axis=0)
+
+        def assemble(msg_, s_, mask3_):
+            s3 = s_.reshape(rows4, b, L)
+            # u_i = msg_i + (x^k - 1) s_i: +x^k s occupies [k, k+b) and
+            # -s occupies [0, b) — the regions overlap when b > k (small
+            # instances), so subtract from the concatenated layout, exactly
+            # like the host path's in-place slice arithmetic
+            arr = xp.concatenate([msg_, s3], axis=1)
+            coeffs_ = xp.concatenate(
+                [be.fk.sub(arr[:, :b], s3), arr[:, b:]], axis=1)
+            pad = xp.zeros((rows4, d2 - (k + b), L), np.uint32)
+            rows_ = xp.concatenate(
+                [xp.concatenate([coeffs_, pad], axis=1), mask3_], axis=0)
+            return coeffs_, rows_
+
+        fn = be._jit(("zk_blind_dev", rows4, k, b, d2), assemble)
+        return fn(msg, s_dev, be.asarray(mask3))
+
     def _zk_encode_streamed(self, rows_coeffs: np.ndarray):
         """Coefficient rows -> canonical n-point codewords, row-chunked.
 
@@ -1002,12 +1063,13 @@ class LigeroCircuit:
             return StreamedCodewords(coeffs_rcm, n, rows)
         chunks = []
         out = None if resident else np.empty((rows, n, L), np.uint32)
+        xpu = np if isinstance(rows_coeffs, np.ndarray) else be.xp
         for i in range(0, rows, chunk):
             blk = rows_coeffs[i:i + chunk]
             r = blk.shape[0]
             if r < chunk:
-                blk = np.concatenate(
-                    [blk, np.zeros((chunk - r, w, L), np.uint32)])
+                blk = xpu.concatenate(
+                    [blk, xpu.zeros((chunk - r, w, L), blk.dtype)])
             enc = be.ntt_and_canon(blk, n)
             if resident:
                 chunks.append(be.narrow16(enc))
@@ -1044,18 +1106,8 @@ class LigeroCircuit:
             preenc = self._build_preenc(var_assignment)
 
         with phase_timer.phase("zk_blind"):
-            msg_coeffs = self._intt_streamed(preenc)      # (4m, k, L) mont
             hostfk = self._host_fk()
-            s = rand_field_elements_limbs(
-                field, 4 * m * b, sub_seed(b"rows")).reshape(4 * m, b, L)
-            # u_i = msg_i + (x^k - 1) s_i  (blinding vanishes on the
-            # message domain, so A and the witness semantics are untouched)
-            coeffs = np.zeros((4 * m, k + b, L), np.uint32)
-            coeffs[:, :k] = msg_coeffs
-            coeffs[:, k:] = s
-            coeffs[:, :b] = hostfk.sub(coeffs[:, :b], s)
-
-            # mask rows (canonical-int polynomials)
+            # mask rows (canonical-int polynomials) — small host work
             mask0 = rand_field_elements(field, k + b, sub_seed(b"mask0"))
             maskq = rand_field_elements(field, 2 * k + b - 1, sub_seed(b"maskq"))
             # sum over the k-point domain is k * sum(coeffs at j = 0 mod k);
@@ -1066,12 +1118,35 @@ class LigeroCircuit:
             for j, rv in enumerate(rho):      # the message domain
                 maskp[j + k] = (maskp[j + k] + rv) % p
                 maskp[j] = (maskp[j] - rv) % p
+            mask3 = np.zeros((3, self.d2, L), np.uint32)
+            mask3[0, :k + b] = field.ints_to_mont_limbs(mask0)
+            mask3[1, :2 * k + b - 1] = field.ints_to_mont_limbs(maskq)
+            mask3[2, :2 * (k + b) - 1] = field.ints_to_mont_limbs(maskp)
 
-            rows = np.zeros((self.num_rows, self.d2, L), np.uint32)
-            rows[:4 * m, :k + b] = coeffs
-            rows[4 * m, :k + b] = field.ints_to_mont_limbs(mask0)
-            rows[4 * m + 1, :2 * k + b - 1] = field.ints_to_mont_limbs(maskq)
-            rows[4 * m + 2, :2 * (k + b) - 1] = field.ints_to_mont_limbs(maskp)
+            # blinding + row assembly on-device when the assembled row
+            # matrix is comfortably within one-buffer safety (round-3
+            # VERDICT item 4: the host blind was minutes of numpy +
+            # a full-matrix upload at scale); bit-identical to the host
+            # path (device sampler stream-compared in tests)
+            coeffs = rows = None
+            rows_bytes = self.num_rows * self.d2 * L * 4
+            if be.use_jax and rows_bytes <= (3 << 29):  # 1.5 GB
+                dev = self._zk_blind_rows_device(preenc, sub_seed, mask3)
+                if dev is not None:
+                    coeffs, rows = dev
+            if coeffs is None:
+                msg_coeffs = self._intt_streamed(preenc)  # (4m, k, L) mont
+                s = rand_field_elements_limbs(
+                    field, 4 * m * b, sub_seed(b"rows")).reshape(4 * m, b, L)
+                # u_i = msg_i + (x^k - 1) s_i  (blinding vanishes on the
+                # message domain, so A and the witness semantics hold)
+                coeffs = np.zeros((4 * m, k + b, L), np.uint32)
+                coeffs[:, :k] = msg_coeffs
+                coeffs[:, k:] = s
+                coeffs[:, :b] = hostfk.sub(coeffs[:, :b], s)
+                rows = np.zeros((self.num_rows, self.d2, L), np.uint32)
+                rows[:4 * m, :k + b] = coeffs
+                rows[4 * m:] = mask3
 
         with phase_timer.phase("rs_encode"):
             u_canon = self._zk_encode_streamed(rows)      # (4m+3, n, L)
@@ -1098,6 +1173,8 @@ class LigeroCircuit:
             sponge.absorb_field_elems(lc_ints)                 # FS #3
             idx1 = self._sample_indices(
                 sponge.squeeze_bytes(CHACHA_SEED_BYTES))       # FS #4
+        overlap = self._open_overlap_ok(u_canon)
+        h1 = self._start_open_async(u_canon, idx1) if overlap else None
 
         with phase_timer.phase("linear"):
             seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)     # FS #5
@@ -1109,6 +1186,7 @@ class LigeroCircuit:
             sponge.absorb_field_elems(q)                       # FS #6
             idx2 = self._sample_indices(
                 sponge.squeeze_bytes(CHACHA_SEED_BYTES))       # FS #7
+        h2 = self._start_open_async(u_canon, idx2) if overlap else None
 
         with phase_timer.phase("quadratic"):
             seed = sponge.squeeze_bytes(CHACHA_SEED_BYTES)     # FS #8
@@ -1122,7 +1200,14 @@ class LigeroCircuit:
             idx3 = self._sample_indices(
                 sponge.squeeze_bytes(CHACHA_SEED_BYTES))       # FS #10
 
-        o1, o2, o3 = self._open_columns_fused(u_canon, tree, (idx1, idx2, idx3))
+        if overlap:
+            h3 = self._start_open_async(u_canon, idx3)
+            o1 = self._finish_open_async(h1, tree)
+            o2 = self._finish_open_async(h2, tree)
+            o3 = self._finish_open_async(h3, tree)
+        else:
+            o1, o2, o3 = self._open_columns_fused(u_canon, tree,
+                                                  (idx1, idx2, idx3))
         return LigeroProof(u_root, InterleavedProof(lc_ints, *o1),
                            LinearConstraintsProof(q, *o2),
                            QuadraticConstraintsProof(p0, *o3))
@@ -1314,6 +1399,52 @@ class LigeroCircuit:
             return get_distinct_indices_excluding(self.n, self.t, seed,
                                                   self.n // self.k)
         return get_distinct_indices_from_prng(self.n, self.t, seed)
+
+    def _open_overlap_ok(self, u_canon) -> bool:
+        """Per-phase async openings pay off only when the gather is a
+        cheap dense-array index (one extra dispatch per phase); the
+        streamed/chunked forms re-encode every chunk per gather, where
+        the single fused gather is the win.  Mesh backends keep the
+        fused path (their gather enters the mesh context)."""
+        be = self.backend
+        return (be.use_jax and getattr(be, "mesh", None) is None
+                and not isinstance(u_canon, (StreamedCodewords,
+                                             RowChunkedMatrix))
+                and not isinstance(u_canon, np.ndarray))
+
+    def _start_open_async(self, u_canon, idx):
+        """Dispatch gather + download of one phase's opened columns on a
+        worker thread, so the device->host transfer (~seconds of tunnel
+        time at 2^19) overlaps the later prover phases.  Sound for the
+        same reason as :meth:`_open_columns_fused`: opened columns are
+        proof DATA, never absorbed into the transcript (reference
+        mod.rs:935-955 squeezes only the index seed)."""
+        import threading
+        out: dict = {}
+
+        def work():
+            try:
+                out["cols"] = self.backend.gather_columns(u_canon, idx)
+            except Exception as e:  # noqa: BLE001 — re-raised at join
+                out["err"] = e
+
+        th = threading.Thread(target=work, daemon=True)
+        th.start()
+        return th, out, list(idx)
+
+    def _finish_open_async(self, handle, tree):
+        th, out, idx = handle
+        with phase_timer.phase("open.gather"):
+            th.join()
+        if "err" in out:
+            raise out["err"]
+        cols = out["cols"]
+        with phase_timer.phase("open.to_ints"):
+            columns = [self.field.limbs_to_ints(cols[:, i, :])
+                       for i in range(len(idx))]
+        with phase_timer.phase("open.paths"):
+            paths = [tree.generate_proof(j) for j in idx]
+        return columns, paths
 
     def _open_columns_fused(self, u_canon, tree, idx_sets):
         """One gather for every opening phase.

@@ -189,16 +189,10 @@ class ShardedBackend(Backend):
         return coeffs, canon
 
     def _fused_fft_canon(self, coeffs, n: int):
-        """n-point NTT of zero-extended coeffs, emitting canonical limbs."""
-        if self._pallas_ok(n):
-            from ..engine.pallas_ntt import ntt_pallas_any as ntt_pallas
-            xp = self.xp
-            k = coeffs.shape[-2]
-            if k < n:
-                coeffs = xp.concatenate(
-                    [coeffs, xp.zeros(coeffs.shape[:-2] + (n - k, coeffs.shape[-1]),
-                                      np.uint32)], axis=-2)
-            return ntt_pallas(self.field, coeffs, n, from_mont_out=True)
+        """n-point NTT of zero-extended coeffs, emitting canonical limbs
+        (MXU four-step first — same routing as the single-chip backend)."""
+        if self._use_mxu(n) or self._pallas_ok(n):
+            return self._encode_block_canon(coeffs, coeffs.shape[-2], n)
         return self.fk.from_mont(self._fft_padded(coeffs, n))
 
     def ntt(self, coeffs, n: int):
@@ -430,13 +424,8 @@ class ShardedBackend(Backend):
         b = blk.astype(np.uint32)
         if not canon:
             return self._fft_padded(b, n)
-        if self._pallas_ok(n):
-            from ..engine.pallas_ntt import ntt_pallas
-            w = b.shape[-2]
-            padded = self.xp.concatenate(
-                [b, self.xp.zeros(b.shape[:-2] + (n - w, b.shape[-1]),
-                                  np.uint32)], axis=-2)
-            return ntt_pallas(self.field, padded, n, from_mont_out=True)
+        if self._use_mxu(n) or self._pallas_ok(n):
+            return self._encode_block_canon(b, b.shape[-2], n)
         return self.fk.from_mont(self._fft_padded(b, n))
 
     def commit_columns_streaming(self, sc: StreamedCodewords):
