@@ -135,8 +135,9 @@ class Backend:
         from .mxu_ntt import mxu_any_ok
         # n <= 8192: single fused kernel; 8192 < n <= 65536: radix-2
         # split levels over MXU leaf kernels; past that, the radix-2
-        # Pallas four-step composition takes over
-        return mxu_any_ok(n)
+        # Pallas four-step composition takes over.  16-limb fields only
+        # (the int8 limb split truncates wider moduli).
+        return mxu_any_ok(n, self.field)
 
     _mxu_ntt_enabled = __import__("os").environ.get("LIGERO_MXU_NTT") != "0"
 

@@ -45,6 +45,12 @@ MASK7 = 0x7F
 MASK16 = 0xFFFF
 REDC_STEPS = 17  # divides by 2^(16*17) = 2^272
 
+# LIGERO_MXU_FOLD_REDC=1 replaces the serial 17-step REDC chain with the
+# data-parallel fold (_FieldVm.fold_redc_cols) inside the MXU kernel —
+# bit-identical; kept opt-in until the on-chip rate comparison lands
+# (scripts/bench_mxu_redc.py)
+FOLD_REDC = __import__("os").environ.get("LIGERO_MXU_FOLD_REDC") == "1"
+
 
 def split_n(n: int) -> tuple[int, int]:
     """n = n1*n2, both powers of two, n1 >= n2 (as square as possible)."""
@@ -68,9 +74,16 @@ def mxu_ok(n: int) -> bool:
 MXU_SPLIT_MAX_N = 65536
 
 
-def mxu_any_ok(n: int) -> bool:
+def mxu_any_ok(n: int, field: FieldSpec | None = None) -> bool:
     """True when some MXU route exists for n: the single kernel
-    (:func:`mxu_ok`) or the radix-2 split composition over it."""
+    (:func:`mxu_ok`) or the radix-2 split composition over it.
+
+    Field gate: the int8 limb decomposition is sized for 16x16-bit-limb
+    operands (< 2^259, L7 = 37) — BLS12-377 Fq's 24 limbs would silently
+    truncate at ``_int_to_limbs7`` and crash the 17-step REDC geometry,
+    so wider fields stay on the generic radix-2 route."""
+    if field is not None and field.num_limbs != 16:
+        return False
     return mxu_ok(n) or (8192 < n <= MXU_SPLIT_MAX_N)
 
 
@@ -165,12 +178,29 @@ def _limbs16_to_7(xp, d16):
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _fold_table(field_name: str, T: int, steps: int) -> np.ndarray:
+    """(3, T, L) uint32 table for :meth:`_FieldVm.fold_redc_cols`:
+    tab[d, t] = limbs of (2^(16t + 7d) · 2^-16(steps-2)) mod p."""
+    field = FIELDS[field_name]
+    p, L = field.p, field.num_limbs
+    inv = pow(1 << (16 * (steps - 2)), p - 2, p)
+    tab = np.zeros((3, T, L), np.uint32)
+    for d in range(3):
+        for t in range(T):
+            v = (inv << (16 * t + 7 * d)) % p
+            for j in range(L):
+                tab[d, t, j] = (v >> (16 * j)) & MASK16
+    return tab
+
+
 class _FieldVm:
     """VPU field helpers over (L, R, C) 16-bit limb tensors (shared by
     the numpy path and the Pallas kernel; mirrors pallas_ntt)."""
 
     def __init__(self, xp, field: FieldSpec):
         self.xp = xp
+        self.field = field
         self.L = field.num_limbs
         self.n16 = np.uint32(field.n16)
         self.p_scalars = [np.uint32(int(v)) for v in field.p_limbs]
@@ -213,6 +243,39 @@ class _FieldVm:
             cols = nxt
         cols[0] = cols[0] + carry
         return self.normalize_condsub(cols[:L])
+
+    def fold_redc_cols(self, cols, steps: int):
+        """Data-parallel alternative to :meth:`redc_cols` (bit-identical).
+
+        The serial 17-step REDC chain is the kernel's VPU bottleneck
+        (PERF.md round-3: ~11% of the op ceiling — each step waits on the
+        previous carry/shift).  Montgomery reduction is linear in the
+        redundant columns, so fold them instead:
+
+            V · 2^-16(steps-2)  ≡  Σ_t  cols[t] · (2^16t · 2^-16(steps-2) mod p)
+
+        with every product fully independent: cols[t] (< 2^21) splits
+        into three 7-bit digits, each multiplied by a precomputed L-limb
+        table row (products < 2^23, summed over 3T ≤ 111 terms < 2^30 —
+        no uint32 overflow).  Two ordinary REDC steps then divide by the
+        remaining 2^32 and normalize; the result is the same canonical
+        representative :meth:`redc_cols` emits (unique < p), tested
+        bit-exact on random inputs and end-to-end in the kernel."""
+        xp, L = self.xp, self.L
+        T = len(cols)
+        tab = _fold_table(self.field.name, T, steps)  # (3, T, L) uint32
+        zero = xp.zeros(cols[0].shape, np.uint32)
+        out = [zero] * (L + 2)
+        m7 = np.uint32(MASK7)
+        for t in range(T):
+            d0 = cols[t] & m7
+            d1 = (cols[t] >> np.uint32(7)) & m7
+            d2 = cols[t] >> np.uint32(14)
+            for j in range(L):
+                out[j] = (out[j] + d0 * np.uint32(int(tab[0, t, j]))
+                          + d1 * np.uint32(int(tab[1, t, j]))
+                          + d2 * np.uint32(int(tab[2, t, j])))
+        return self.redc_cols(out, 2)
 
     def mont_mul(self, a, b):
         """(L, R, C) x (L, R, C) Montgomery product (16-bit limbs)."""
@@ -405,10 +468,12 @@ def _row_core(xp, dot, x16, consts, field: FieldSpec):
     fv = _FieldVm(xp, field)
     sm = _stage_matmul_fused if fused else _stage_matmul
 
+    redc = fv.fold_redc_cols if FOLD_REDC else fv.redc_cols
+
     # stage 1: B^T = W2 @ A^T  (data right, limbs in the contraction)
     d7 = _limbs16_to_7(xp, x16)
     cols7 = sm(xp, dot, w2c, d7, data_left=False)
-    b16 = fv.redc_cols(_regroup_7_to_16(xp, cols7), REDC_STEPS)
+    b16 = redc(_regroup_7_to_16(xp, cols7), REDC_STEPS)
 
     # stage 2: pointwise twiddle (T'' carries R*2^32 [*n^-1]); CIOS
     # keeps the live accumulator at L+2 blocks instead of 2L
@@ -417,7 +482,7 @@ def _row_core(xp, dot, x16, consts, field: FieldSpec):
     # stage 3: E^T = C^T @ W1  (data left, limbs in the contraction)
     d7 = _limbs16_to_7(xp, c16)
     cols7 = sm(xp, dot, w1c, d7, data_left=True)
-    e_t = fv.redc_cols(_regroup_7_to_16(xp, cols7), REDC_STEPS)  # (L, n2, n1)
+    e_t = redc(_regroup_7_to_16(xp, cols7), REDC_STEPS)  # (L, n2, n1)
 
     return xp.stack([xp.swapaxes(e_t[q], 0, 1) for q in range(L)])
 

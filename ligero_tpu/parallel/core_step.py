@@ -117,13 +117,13 @@ def make_prover_core(field: FieldSpec, four_m: int, k: int, n: int,
         from ..engine.mxu_ntt import mxu_any_ok, mxu_ntt_any
         from ..engine.pallas_ntt import ntt_pallas
         use_mxu = Backend._mxu_ntt_enabled  # LIGERO_MXU_NTT gate
-        if use_mxu and mxu_any_ok(k):
+        if use_mxu and mxu_any_ok(k, field):
             coeffs = mxu_ntt_any(field, preenc, k, inverse=True)
         else:
             coeffs = ntt_pallas(field, preenc, k, inverse=True)
         padded = jnp.concatenate(
             [coeffs, jnp.zeros((four_m, n - k, L), jnp.uint32)], axis=1)
-        if use_mxu and mxu_any_ok(n):
+        if use_mxu and mxu_any_ok(n, field):
             # canonical limbs fall out of the R^-1-folded stage-2 twiddle
             return mxu_ntt_any(field, padded, n, canon_out=True)
         return ntt_pallas(field, padded, n, from_mont_out=True)
