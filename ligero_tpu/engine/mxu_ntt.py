@@ -59,14 +59,21 @@ def split_n(n: int) -> tuple[int, int]:
     return n1, n // n1
 
 
+#: smallest n2 the single kernel accepts (exactness only needs n1 <= 128;
+#: this is a tiling-efficiency floor — n=512 has n2=16 and pads to 128
+#: lanes either way, so LIGERO_MXU_MIN_N2=16 may win; A/B in
+#: scripts/bench_mxu_redc.py --small)
+MIN_N2 = int(__import__("os").environ.get("LIGERO_MXU_MIN_N2", "32"))
+
+
 def mxu_ok(n: int) -> bool:
     """True when the single MXU kernel is exact AND fast for size n:
-    n2 >= 32 tiles the int8 matmuls onto the MXU; n <= 8192 keeps the
+    n2 >= MIN_N2 tiles the int8 matmuls onto the MXU; n <= 8192 keeps the
     fused-contraction stage constants in VMEM (past it the per-m loop
     form is 3-4x slower than radix-2 — measured at n=16384,
     atscale_r3_final 2^20 warm regression)."""
     n1, n2 = split_n(n)
-    return n2 >= 32 and n <= 8192
+    return n2 >= MIN_N2 and n <= 8192
 
 
 #: largest transform the Cooley-Tukey split wrapper decomposes onto

@@ -30,11 +30,15 @@ def main():
     ap.add_argument("--out", default="mxu_redc_ab.json")
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--n", type=int, default=8192)
+    ap.add_argument("--small", action="store_true",
+                    help="also A/B the relaxed MIN_N2=16 envelope at "
+                         "n=512 (the headline iNTT_k shape) vs radix-2")
     args = ap.parse_args()
 
     import jax
 
     import ligero_tpu.engine.mxu_ntt as mx
+    from ligero_tpu.engine.pallas_ntt import ntt_pallas_any as ntt_pallas
     from ligero_tpu.fields import BN254_FR
 
     field = BN254_FR
@@ -58,6 +62,20 @@ def main():
         results["fold_speedup"] = round(
             b["points_per_s"] / a["points_per_s"], 3)
         log(f"fold speedup: {results['fold_speedup']}x")
+
+    if args.small:
+        # relaxed envelope at the headline iNTT shape (2048 rows x k=512)
+        results["small_n512"] = []
+        results["small_n512"].append(bench_kernel(
+            "radix2_n512", lambda x: ntt_pallas(field, x, 512),
+            field, 2048, 512))
+        mx.MIN_N2 = 16
+        mx._mxu_kernel_factory.cache_clear()
+        results["small_n512"].append(bench_kernel(
+            "mxu_n512_minn2_16", lambda x: mx.mxu_ntt_any(field, x, 512),
+            field, 2048, 512))
+        mx.MIN_N2 = 32
+        mx._mxu_kernel_factory.cache_clear()
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
