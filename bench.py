@@ -136,7 +136,8 @@ def _attach_recorded(result: dict) -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     for key, names in (("last_tpu_headline", ("bench_tpu_last.json",)),
                        ("fixtures", ("bench_configs.json",)),
-                       ("at_scale", ("atscale_r3_final.json",
+                       ("at_scale", ("atscale_r4.json",
+                                     "atscale_r3_final.json",
                                      "atscale_r3.json", "atscale_r2f.json",
                                      "atscale_r2e.json", "atscale_r2d.json",
                                      "atscale_r2c.json", "atscale_r2b.json",
@@ -147,12 +148,18 @@ def _attach_recorded(result: dict) -> None:
                                             "atscale_r2g.json",
                                             "atscale_r2d.json")),
                        ("cold_start", ("atscale_r3_cold.json",)),
-                       ("at_scale_2pow21", ("atscale_r3_2pow21.json",)),
+                       ("at_scale_2pow21", ("atscale_21_r4.json",
+                                            "atscale_r3_2pow21.json")),
+                       ("at_scale_2pow22", ("atscale_22_r4.json",)),
                        ("at_scale_sync_attribution", ("atscale_r3_sync.json",)),
-                       ("streaming_at_scale", ("atscale_streaming_r3.json",
+                       ("streaming_at_scale", ("atscale_streaming_r4b.json",
+                                               "atscale_streaming_r4.json",
+                                               "atscale_streaming_r3.json",
                                                "atscale_streaming.json")),
-                       ("zk_at_scale", ("atscale_zk_r3.json",
+                       ("zk_at_scale", ("atscale_zk_r4.json",
+                                        "atscale_zk_r3.json",
                                         "atscale_zk.json")),
+                       ("mxu_redc_ab", ("mxu_redc_ab.json",)),
                        ("fourstep_ntt", ("fourstep_ntt_validation.json",)),
                        ("scaling_methodology", ("scaling.json",)),
                        ("scaling_attribution", ("scaling_attrib.json",)),
