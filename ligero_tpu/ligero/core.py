@@ -617,20 +617,13 @@ class LigeroCircuit:
             preencs = np.stack([self._build_preenc(w) for w in bumped])
 
         with phase_timer.phase("zk_blind"):
-            msg_coeffs = be.to_numpy(be.intt(np.ascontiguousarray(
-                preencs.reshape(B * 4 * m, k, L)), k)).reshape(B, 4 * m, k, L)
-            coeffs_all = np.zeros((B, 4 * m, k + b, L), np.uint32)
-            rows_all = np.zeros((B, num_rows, d2, L), np.uint32)
-            mask0s, maskqs, maskps = [], [], []
-            for i, zk_seed in enumerate(zk_seeds):
-                def sub_seed(tag: bytes) -> bytes:
-                    return hashlib.blake2s(zk_seed + tag).digest()
-
-                s = rand_field_elements_limbs(
-                    field, 4 * m * b, sub_seed(b"rows")).reshape(4 * m, b, L)
-                coeffs_all[i, :, :k] = msg_coeffs[i]
-                coeffs_all[i, :, k:] = s
-                coeffs_all[i, :, :b] = hostfk.sub(coeffs_all[i, :, :b], s)
+            # mask rows (small host work) for every proof first
+            mask0s, maskqs, maskps, mask3s = [], [], [], []
+            sub_seeds = []
+            for zk_seed in zk_seeds:
+                def sub_seed(tag: bytes, _seed=zk_seed) -> bytes:
+                    return hashlib.blake2s(_seed + tag).digest()
+                sub_seeds.append(sub_seed)
 
                 mask0 = rand_field_elements(field, k + b, sub_seed(b"mask0"))
                 maskq = rand_field_elements(field, 2 * k + b - 1,
@@ -646,17 +639,49 @@ class LigeroCircuit:
                 mask0s.append(mask0)
                 maskqs.append(maskq)
                 maskps.append(maskp)
+                mask3 = np.zeros((3, d2, L), np.uint32)
+                mask3[0, :k + b] = field.ints_to_mont_limbs(mask0)
+                mask3[1, :2 * k + b - 1] = field.ints_to_mont_limbs(maskq)
+                mask3[2, :2 * (k + b) - 1] = field.ints_to_mont_limbs(maskp)
+                mask3s.append(mask3)
 
-                rows_all[i, :4 * m, :k + b] = coeffs_all[i]
-                rows_all[i, 4 * m, :k + b] = field.ints_to_mont_limbs(mask0)
-                rows_all[i, 4 * m + 1, :2 * k + b - 1] = \
-                    field.ints_to_mont_limbs(maskq)
-                rows_all[i, 4 * m + 2, :2 * (k + b) - 1] = \
-                    field.ints_to_mont_limbs(maskp)
+            # blinding + row assembly on-device per proof (same gate and
+            # helper as the sequential zk prover — bit-identical, tested)
+            coeffs_all = rows_flat = None
+            if be.use_jax and num_rows * d2 * L * 4 <= (3 << 29):
+                coeffs_list, rows_list = [], []
+                for i in range(B):
+                    dev = self._zk_blind_rows_device(
+                        preencs[i], sub_seeds[i], mask3s[i])
+                    if dev is None:
+                        coeffs_list = None
+                        break
+                    coeffs_list.append(dev[0])
+                    rows_list.append(dev[1])
+                if coeffs_list is not None:
+                    xp = be.xp
+                    coeffs_all = xp.stack(coeffs_list)
+                    rows_flat = xp.concatenate(rows_list, axis=0)
+            if coeffs_all is None:
+                msg_coeffs = be.to_numpy(be.intt(np.ascontiguousarray(
+                    preencs.reshape(B * 4 * m, k, L)), k)).reshape(
+                        B, 4 * m, k, L)
+                coeffs_all = np.zeros((B, 4 * m, k + b, L), np.uint32)
+                rows_all = np.zeros((B, num_rows, d2, L), np.uint32)
+                for i in range(B):
+                    s = rand_field_elements_limbs(
+                        field, 4 * m * b,
+                        sub_seeds[i](b"rows")).reshape(4 * m, b, L)
+                    coeffs_all[i, :, :k] = msg_coeffs[i]
+                    coeffs_all[i, :, k:] = s
+                    coeffs_all[i, :, :b] = hostfk.sub(coeffs_all[i, :, :b], s)
+                    rows_all[i, :4 * m, :k + b] = coeffs_all[i]
+                    rows_all[i, 4 * m:] = mask3s[i]
+                rows_flat = np.ascontiguousarray(
+                    rows_all.reshape(B * num_rows, d2, L))
 
         with phase_timer.phase("rs_encode"):
-            u_canon = be.ntt_and_canon(np.ascontiguousarray(
-                rows_all.reshape(B * num_rows, d2, L)), n)
+            u_canon = be.ntt_and_canon(rows_flat, n)
 
         with phase_timer.phase("commit"):
             trees = [MerkleTree(lv, inner_levels=il) for lv, il in
