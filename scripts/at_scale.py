@@ -169,8 +169,10 @@ def run_scale(log2_gates: int, zk: bool = False) -> dict:
         raise SystemExit(f"TAMPERED PROOF VERIFIED at 2^{log2_gates}")
 
     rs_elems = 4 * ligero.m * ligero.n
+    proof_bytes = len(proof.to_bytes(F))
     return {
         "log2_gates": log2_gates,
+        "proof_bytes": proof_bytes,
         "encode_mode": getattr(ligero, "_encode_mode", None),
         "resident_budget_gb": os.environ.get("LIGERO_RESIDENT_BUDGET_GB"),
         "m": ligero.m, "k": ligero.k, "n": ligero.n, "t": ligero.t,

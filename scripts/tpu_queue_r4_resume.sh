@@ -37,4 +37,9 @@ run atscale_streaming_r4b 7200 env LIGERO_RESIDENT_BUDGET_GB=0.5 \
   python scripts/at_scale.py --sizes 19 --no-canary \
   --out atscale_streaming_r4b.json
 
+# 6. MXU challenge-combination kernel: validate + A/B vs the VPU
+#    Montgomery-product lc at the headline shape
+run mxu_lc_bench 7200 python scripts/bench_mxu_lc.py \
+  --out mxu_lc_bench.json
+
 echo "=== [$(stamp)] queue_r4_resume complete" | tee -a "$LOG/queue_r4_resume.log"

@@ -213,3 +213,35 @@ def test_mxu_gate_excludes_wide_fields():
     assert mxu_any_ok(2048, BN254_FR)
     assert not mxu_any_ok(2048, BLS12_377_FQ)
     assert not mxu_any_ok(8192, BLS12_377_FQ)
+
+
+def test_mxu_lc_numpy_bit_exact():
+    """MXU challenge combination (mxu_lc.py): hermetic numpy spec
+    bit-compared against the host Montgomery kernel, incl. the row-chunk
+    combine and max-density operands (bound stress)."""
+    import numpy as np
+
+    from ligero_tpu.engine.fieldops import FieldKernel
+    from ligero_tpu.engine.mxu_lc import ROWS_MAX, mxu_lc_numpy
+    from ligero_tpu.fields import BN254_FR as F
+
+    rng = np.random.default_rng(9)
+    fk = FieldKernel(F, np)
+    for rows, k in ((64, 32), (300, 16), (ROWS_MAX + 100, 8)):
+        preenc = F.ints_to_mont_limbs(
+            [int(v) for v in rng.integers(0, 2 ** 63, rows * k)]
+        ).reshape(rows, k, F.num_limbs).astype(np.uint32)
+        r = F.ints_to_mont_limbs(
+            [int(v) for v in rng.integers(0, 2 ** 63, rows)]).astype(np.uint32)
+        ref = fk.sum_mod(fk.mont_mul(r[:, None, :], preenc), axis=0)
+        assert np.array_equal(np.asarray(ref, np.uint32),
+                              mxu_lc_numpy(F, preenc, r)), (rows, k)
+    # max limb density (p-1 everywhere): accumulation bounds hold
+    rows, k = 512, 8
+    pm1 = F.p - 1
+    preenc = np.tile(F.ints_to_mont_limbs([pm1] * k).reshape(1, k, -1),
+                     (rows, 1, 1)).astype(np.uint32)
+    r = np.tile(F.ints_to_mont_limbs([pm1]), (rows, 1)).astype(np.uint32)
+    ref = fk.sum_mod(fk.mont_mul(r[:, None, :], preenc), axis=0)
+    assert np.array_equal(np.asarray(ref, np.uint32),
+                          mxu_lc_numpy(F, preenc, r))
