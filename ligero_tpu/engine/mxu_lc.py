@@ -12,9 +12,13 @@ four-step NTT (mxu_ntt.py):
     lc = fold_redc(regroup(acc), steps=16)             (2^-256: mont mul)
 
 Exactness: per-entry sums are <= rows * 127^2 (int32-exact for rows <=
-2^17); the t-accumulated redundant columns are <= 37 * rows * 127^2
-(uint32-exact for rows <= 7000 — larger row counts chunk and combine
-canonical partials mod p).  Both operands are Montgomery, so the value
+2^17); the t-accumulated redundant columns are <= B = 37 * rows * 127^2.
+B must ALSO survive ``_regroup_7_to_16``'s two carry-taming passes:
+after them each base-2^7 column is <= 128 + B/2^14, and the regroup
+shifts it by up to 15 bits, so uint32-exactness needs
+(128 + B/2^14) * 2^15 < 2^32, i.e. rows <= 3593.  ROWS_MAX = 2048
+(B <= 2^30.2 — comfortable margin); larger row counts chunk and combine
+canonical partials mod p.  Both operands are Montgomery, so the value
 is (sum r.p) * R^2 and the 16-step reduction emits the Montgomery-form
 combination — bit-identical to fk.sum_mod(fk.mont_mul(r, preenc))
 (tested hermetically in numpy and on-chip).
@@ -30,18 +34,24 @@ from ..fields import FIELDS, FieldSpec
 from .mxu_ntt import L7, MASK16, _FieldVm, _limbs16_to_7, _np_dot_i32, \
     _regroup_7_to_16
 
-#: rows per exact uint32 accumulation block: 37 * ROWS_MAX * 127^2 < 2^32
-ROWS_MAX = 4096
+#: rows per exact uint32 accumulation block: the binding constraint is
+#: the regroup carry bound (module docstring), rows <= 3593
+ROWS_MAX = 2048
 
 
-def mxu_lc_ok(field: FieldSpec) -> bool:
-    """Same field envelope as the MXU NTT (16x16-bit limbs)."""
-    return field.num_limbs == 16
+def mxu_lc_ok(field: FieldSpec, k: int | None = None) -> bool:
+    """Field envelope of the MXU NTT (16x16-bit limbs) plus the Mosaic
+    lane constraint: the kernel's last block dim is L7*k_tile, which is
+    128-divisible iff k_tile is (L7 = 37 is odd) — so k must be a
+    multiple of 128."""
+    if field.num_limbs != 16:
+        return False
+    return k is None or k % 128 == 0
 
 
-def _lc_core(xp, dot, p7_exp, r7, k: int, field: FieldSpec):
-    """(rows, L7*k) int8 preenc limbs x (L7, rows) int8 r limbs ->
-    (L, 1, k) Montgomery limb columns of the combination."""
+def _lc_accum(xp, dot, p7_exp, r7, k: int):
+    """One row-block's dot + shifted-add pass -> (2*L7-1, k) uint32
+    redundant columns (the t = m + l accumulation)."""
     out = dot(r7, p7_exp)                       # (L7, L7*k) int32->uint32
     zero = xp.zeros((1, k), np.uint32)
     acc = [zero] * (2 * L7 - 1)
@@ -49,9 +59,22 @@ def _lc_core(xp, dot, p7_exp, r7, k: int, field: FieldSpec):
         row = out[m:m + 1]                      # (1, L7*k); 2-D for Mosaic
         for l in range(L7):
             acc[m + l] = acc[m + l] + row[:, l * k:(l + 1) * k]
+    return xp.concatenate(acc, axis=0)          # (2*L7-1, k)
+
+
+def _lc_finish(xp, acc2d, field: FieldSpec):
+    """Redundant columns (2*L7-1, k) -> list of L (1, k) Montgomery
+    limb rows.  Value = (sum r.p) * R^2; 16 REDC-equivalent steps
+    divide by R."""
     fv = _FieldVm(xp, field)
-    # value = (sum r.p) R^2; 16 REDC-equivalent steps divide by R
-    return fv.fold_redc_cols(_regroup_7_to_16(xp, acc), 16)
+    cols = [acc2d[t:t + 1] for t in range(acc2d.shape[0])]
+    return fv.fold_redc_cols(_regroup_7_to_16(xp, cols), 16)
+
+
+def _lc_core(xp, dot, p7_exp, r7, k: int, field: FieldSpec):
+    """(rows, L7*k) int8 preenc limbs x (L7, rows) int8 r limbs ->
+    (L, 1, k) Montgomery limb columns of the combination."""
+    return _lc_finish(xp, _lc_accum(xp, dot, p7_exp, r7, k), field)
 
 
 def _split_operands(xp, preenc_lt, r_lt, k: int):
@@ -84,9 +107,23 @@ def mxu_lc_numpy(field: FieldSpec, preenc, r) -> np.ndarray:
     return total  # (k, L)
 
 
+#: row-block height streamed per grid step (int8 data block is
+#: ROW_TILE * L7 * k_tile bytes; 128 keeps it ~2.4 MB at k_tile=512 and
+#: satisfies Mosaic's 128-lane divisibility for the (L7, ROW_TILE)
+#: challenge block)
+ROW_TILE = 128
+
+
 @functools.lru_cache(maxsize=None)
-def _mxu_lc_kernel_factory(field_name: str, rows: int, k: int):
-    """Pallas kernel: whole block in VMEM, grid over k tiles."""
+def _mxu_lc_kernel_factory(field_name: str, rows_p: int, k: int,
+                           interpret: bool = False):
+    """Pallas kernel: grid over (k tiles, row blocks).  Each row step
+    dots one (L7, ROW_TILE) challenge block against one
+    (ROW_TILE, L7*k_tile) data block on the MXU and shifted-adds into a
+    (2*L7-1, k_tile) uint32 scratch accumulator; the last row step
+    regroups + fold-REDCs the accumulator into Montgomery limbs.
+    ``rows_p`` must be a multiple of ROW_TILE (caller zero-pads — padded
+    rows carry r = 0 so they contribute nothing)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -94,45 +131,59 @@ def _mxu_lc_kernel_factory(field_name: str, rows: int, k: int):
 
     field = FIELDS[field_name]
     L = field.num_limbs
+    assert rows_p % ROW_TILE == 0 and rows_p <= ROWS_MAX
+    assert k % 128 == 0, "Mosaic lane constraint (mxu_lc_ok)"
 
     def dot_i32(a, b):
         return jax.lax.dot(a, b, preferred_element_type=jnp.int32
                            ).astype(jnp.uint32)
 
-    # VMEM: the int8 data block (rows * L7 * k_tile) must leave room for
-    # the r block, the int32 dot output and the redundant accumulators
+    # k tiles: the (L7, L7*k_tile) int32 dot transient is the big VMEM
+    # consumer (~2.8 MB at k_tile=512); halving preserves %128 == 0
     k_tile = k
-    while rows * L7 * k_tile > (6 << 20) and k_tile > 64:
+    while L7 * L7 * k_tile * 4 > (5 << 20) and k_tile % 256 == 0:
         k_tile //= 2
-    assert k % k_tile == 0
 
-    def kernel(p_ref, r_ref, o_ref):
-        # p_ref: (rows, L7*k_tile) int8; r_ref: (L7, rows) int8
-        res = _lc_core(jnp, dot_i32, p_ref[...], r_ref[...], k_tile, field)
-        o_ref[...] = jnp.stack([res[q][0] for q in range(L)])  # (L, k_tile)
+    def kernel(p_ref, r_ref, o_ref, acc_ref):
+        g_r = pl.program_id(1)
 
-    grid = (k // k_tile,)
+        @pl.when(g_r == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        acc_ref[...] = acc_ref[...] + _lc_accum(
+            jnp, dot_i32, p_ref[...], r_ref[...], k_tile)
+
+        @pl.when(g_r == pl.num_programs(1) - 1)
+        def _finish():
+            res = _lc_finish(jnp, acc_ref[...], field)  # (L, 1, k_tile)
+            o_ref[...] = res[:, 0, :]
+
+    grid = (k // k_tile, rows_p // ROW_TILE)
     fn = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec((rows, L7 * k_tile), lambda g: (0, g)),
-                  pl.BlockSpec((L7, rows), lambda g: (0, 0))],
-        out_specs=pl.BlockSpec((L, k_tile), lambda g: (0, g)),
+        in_specs=[pl.BlockSpec((ROW_TILE, L7 * k_tile),
+                               lambda gk, gr: (gr, gk)),
+                  pl.BlockSpec((L7, ROW_TILE), lambda gk, gr: (0, gr))],
+        out_specs=pl.BlockSpec((L, k_tile), lambda gk, gr: (0, gk)),
         out_shape=jax.ShapeDtypeStruct((L, k), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((2 * L7 - 1, k_tile), jnp.uint32)],
+        interpret=interpret,
     )
 
     def run(preenc, r):
-        # (rows, k, L) u16/u32, (rows, L) -> (k, L) mont
+        # (rows_p, k, L) u16/u32, (rows_p, L) -> (k, L) mont
         blk = preenc.astype(jnp.uint32)
         rb = r.astype(jnp.uint32)
         p_lt = jnp.transpose(blk, (2, 0, 1))
         r_lt = jnp.transpose(rb, (1, 0))
         p7 = _limbs16_to_7(jnp, p_lt)
-        # per k-tile contiguous layout: (rows, L7, k) -> tile g sees
-        # columns [g*k_tile, (g+1)*k_tile) of every limb — build
-        # (rows, L7*k) with limb-major within each tile
+        # per k-tile contiguous layout: tile g's block sees columns
+        # [g*k_tile, (g+1)*k_tile) of every limb, limb-major within
         p7_t = jnp.stack(p7, axis=1)                  # (rows, L7, k)
-        tiles = [p7_t[:, :, g * k_tile:(g + 1) * k_tile].reshape(rows, L7 * k_tile)
+        tiles = [p7_t[:, :, g * k_tile:(g + 1) * k_tile]
+                 .reshape(rows_p, L7 * k_tile)
                  for g in range(k // k_tile)]
         p7_exp = jnp.concatenate(tiles, axis=1).astype(jnp.int8)
         r7 = jnp.stack(_limbs16_to_7(jnp, r_lt)).astype(jnp.int8)
@@ -142,20 +193,31 @@ def _mxu_lc_kernel_factory(field_name: str, rows: int, k: int):
     return run
 
 
-def mxu_lc(field: FieldSpec, preenc, r):
+def _pad_rows(xp, a, rows_p: int):
+    pad = rows_p - a.shape[0]
+    if pad == 0:
+        return a
+    return xp.concatenate(
+        [a, xp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+
+
+def mxu_lc(field: FieldSpec, preenc, r, interpret: bool = False):
     """Device entry: (rows, k, L) x (rows, L) Montgomery limbs ->
-    (k, L) Montgomery limbs.  Rows chunk at ROWS_MAX; canonical-exact
-    partials combine mod p."""
+    (k, L) Montgomery limbs.  Rows pad to a ROW_TILE multiple (padded
+    rows carry r = 0) and chunk at ROWS_MAX; canonical-exact partials
+    combine mod p."""
     import jax.numpy as jnp
 
     rows, k, L = preenc.shape
     if rows <= ROWS_MAX:
-        return _mxu_lc_kernel_factory(field.name, rows, k)(preenc, r)
+        rows_p = -(-rows // ROW_TILE) * ROW_TILE
+        return _mxu_lc_kernel_factory(field.name, rows_p, k, interpret)(
+            _pad_rows(jnp, preenc, rows_p), _pad_rows(jnp, r, rows_p))
     from .fieldops import FieldKernel
     fk = FieldKernel(field, jnp)
     total = None
     for i in range(0, rows, ROWS_MAX):
         blk, rb = preenc[i:i + ROWS_MAX], r[i:i + ROWS_MAX]
-        part = _mxu_lc_kernel_factory(field.name, blk.shape[0], k)(blk, rb)
+        part = mxu_lc(field, blk, rb, interpret)
         total = part if total is None else fk.add(total, part)
     return total

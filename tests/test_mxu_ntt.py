@@ -245,3 +245,30 @@ def test_mxu_lc_numpy_bit_exact():
     ref = fk.sum_mod(fk.mont_mul(r[:, None, :], preenc), axis=0)
     assert np.array_equal(np.asarray(ref, np.uint32),
                           mxu_lc_numpy(F, preenc, r))
+
+
+def test_mxu_lc_pallas_interpret_bit_exact():
+    """The Pallas lc kernel (grid over k tiles x row blocks, scratch
+    accumulator) bit-compared against the host Montgomery kernel in
+    interpret mode, incl. row padding (129 -> 256), multiple row steps,
+    and the > ROWS_MAX chunked combine."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ligero_tpu.engine.fieldops import FieldKernel
+    from ligero_tpu.engine.mxu_lc import ROWS_MAX, mxu_lc
+    from ligero_tpu.fields import BN254_FR as F
+
+    rng = np.random.default_rng(11)
+    fk = FieldKernel(F, np)
+    for rows, k in ((129, 128), (512, 256), (ROWS_MAX + 600, 128)):
+        preenc = F.ints_to_mont_limbs(
+            [int(v) for v in rng.integers(0, 2 ** 63, rows * k)]
+        ).reshape(rows, k, F.num_limbs).astype(np.uint32)
+        r = F.ints_to_mont_limbs(
+            [int(v) for v in rng.integers(0, 2 ** 63, rows)]).astype(np.uint32)
+        ref = np.asarray(
+            fk.sum_mod(fk.mont_mul(r[:, None, :], preenc), axis=0), np.uint32)
+        got = np.asarray(mxu_lc(F, jnp.asarray(preenc), jnp.asarray(r),
+                                interpret=True), np.uint32)
+        assert np.array_equal(ref, got), (rows, k)
