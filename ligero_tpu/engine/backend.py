@@ -742,11 +742,29 @@ class Backend:
             u_canon, self.asarray(np.ascontiguousarray(idx, np.int32)))
         return self.to_numpy(out).astype(np.uint32)
 
+    _mxu_lc_enabled = __import__("os").environ.get("LIGERO_MXU_LC") != "0"
+
+    def _use_mxu_lc(self, k: int) -> bool:
+        """Route the challenge combination through the MXU int8 limb
+        matmul kernel (mxu_lc.py).  Default ON since the on-chip A/B
+        (mxu_lc_bench.json): 22.8 ms vs 32.0 ms for the VPU Montgomery
+        product at the 2048x512 headline shape, bit-exact both ways;
+        LIGERO_MXU_LC=0 restores the VPU path."""
+        if not (self.use_pallas_ntt and self._mxu_lc_enabled):
+            return False
+        from .mxu_lc import mxu_lc_ok
+        return mxu_lc_ok(self.field, k)
+
     def row_combine(self, r, mat):
         """r^T · M for r (B, L), M (B, k, L) -> (k, L); all Montgomery.
 
         mont_mul self-chunks its batch (FieldKernel.MAX_BATCH_ELEMS), so no
         per-call-site chunking is needed here."""
+        if self._use_mxu_lc(mat.shape[1]):
+            from .mxu_lc import mxu_lc
+            return self._jit16(
+                ("rowcomb_mxu", r.shape, mat.shape),
+                lambda r_, m_: mxu_lc(self.field, m_, r_))(r, mat)
 
         def run(r_, m_):
             prod = self.fk.mont_mul(r_[:, None, :], m_)
