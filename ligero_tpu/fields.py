@@ -121,16 +121,30 @@ class FieldSpec:
     def ints_to_limbs(self, xs) -> np.ndarray:
         """list[int] -> (N, L) uint32 little-endian 16-bit limbs."""
         nbytes = self.num_limbs * 2
-        buf = b"".join(int(x).to_bytes(nbytes, "little") for x in xs)
+        try:
+            from . import native
+        except ImportError:
+            native = None
+        if native is not None and native.pylong_available():
+            buf = native.le_bytes_from_longs(
+                xs if isinstance(xs, (list, tuple)) else list(xs), nbytes)
+        else:
+            buf = b"".join(int(x).to_bytes(nbytes, "little") for x in xs)
         u16 = np.frombuffer(buf, dtype="<u2").reshape(len(xs), self.num_limbs)
         return u16.astype(np.uint32)
 
     def limbs_to_ints(self, limbs: np.ndarray) -> list[int]:
         """(N, L) uint32 -> list[int]."""
         limbs = np.ascontiguousarray(limbs.astype("<u2"))
-        raw = limbs.tobytes()
         n = limbs.shape[0]
         sz = self.num_limbs * 2
+        try:  # native batch PyLong construction (~10x the from_bytes loop)
+            from . import native
+            if native.pylong_available():
+                return native.longs_from_le_bytes(limbs, n, sz)
+        except ImportError:
+            pass
+        raw = limbs.tobytes()
         return [int.from_bytes(raw[i * sz:(i + 1) * sz], "little") for i in range(n)]
 
     # Montgomery helpers (host scalars) --------------------------------------
@@ -159,8 +173,13 @@ class FieldSpec:
                 u64 = native.u16_to_u64_limbs(
                     np.ascontiguousarray(limbs).reshape(-1, self.num_limbs))
                 native.from_mont_inplace(self, u64)
-                raw = np.ascontiguousarray(u64).tobytes()
                 sz = self.num_u64_limbs * 8
+                u64 = np.ascontiguousarray(u64)
+                if native.pylong_available():
+                    # LSB-first u64 limbs ARE the little-endian byte layout
+                    return native.longs_from_le_bytes(u64.view("<u8"),
+                                                      u64.shape[0], sz)
+                raw = u64.tobytes()
                 return [int.from_bytes(raw[i * sz:(i + 1) * sz], "little")
                         for i in range(u64.shape[0])]
         except ImportError:

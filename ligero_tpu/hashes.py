@@ -25,6 +25,13 @@ from .fields import FieldSpec
 def serialize_field_vec(field: FieldSpec, values: list[int]) -> bytes:
     """ark ``Vec<F>::serialize_compressed``: u64 LE length + canonical LE elems."""
     sz = field.serialized_size
+    try:  # native batch int->bytes (~10x the to_bytes loop; same semantics)
+        from . import native
+        if native.pylong_available():
+            return (len(values).to_bytes(8, "little")
+                    + native.le_bytes_from_longs(values, sz))
+    except ImportError:
+        pass
     return len(values).to_bytes(8, "little") + b"".join(
         int(v).to_bytes(sz, "little") for v in values)
 

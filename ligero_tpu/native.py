@@ -97,6 +97,96 @@ def available() -> bool:
 
 
 # ---------------------------------------------------------------------------
+# PyLong batch converters (native/ligero_pylong.c, loaded via PyDLL)
+# ---------------------------------------------------------------------------
+
+_PYSRC = os.path.join(os.path.dirname(_SRC), "ligero_pylong.c")
+_PYLIB_PATH = os.path.join(_BUILD_DIR, "libligero_pylong.so")
+_PYHASH_PATH = _PYLIB_PATH + ".srchash"
+
+_pylib = None
+_pytried = False
+
+
+def _pyload():
+    """Compile/load the PyLong converter lib (PyDLL: GIL held per call)."""
+    global _pylib, _pytried
+    if _pytried:
+        return _pylib
+    _pytried = True
+    try:
+        import hashlib
+        import sysconfig
+        with open(_PYSRC, "rb") as f:
+            want = hashlib.sha256(f.read()).hexdigest()
+        have = None
+        if os.path.exists(_PYLIB_PATH) and os.path.exists(_PYHASH_PATH):
+            with open(_PYHASH_PATH) as f:
+                have = f.read().strip()
+        if have != want:
+            os.makedirs(_BUILD_DIR, exist_ok=True)
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC",
+                 "-I" + sysconfig.get_paths()["include"],
+                 "-o", _PYLIB_PATH, _PYSRC],
+                check=True, capture_output=True)
+            with open(_PYHASH_PATH, "w") as f:
+                f.write(want)
+        lib = ctypes.PyDLL(_PYLIB_PATH)
+        lib.lp_longs_from_le.restype = ctypes.py_object
+        lib.lp_longs_from_le.argtypes = [ctypes.c_void_p, ctypes.c_ssize_t,
+                                         ctypes.c_ssize_t]
+        lib.lp_le_from_longs.restype = ctypes.c_int
+        lib.lp_le_from_longs.argtypes = [ctypes.py_object, ctypes.c_ssize_t,
+                                         ctypes.c_void_p]
+        # smoke-test: the private _PyLong_* ABI must behave on this
+        # interpreter before the fast path is trusted
+        probe = lib.lp_longs_from_le(b"\x02\x01" b"\xff\x00", 2, 2)
+        buf = ctypes.create_string_buffer(4)
+        rc = lib.lp_le_from_longs([258, 255], 2, buf)
+        if probe != [258, 255] or rc != 0 or buf.raw != b"\x02\x01\xff\x00":
+            raise RuntimeError("pylong converter self-test failed")
+        _pylib = lib
+    except Exception as e:  # noqa: BLE001
+        sys.stderr.write(f"ligero_tpu: pylong converters unavailable ({e}); "
+                         "falling back to Python int loops\n")
+        _pylib = None
+    return _pylib
+
+
+def pylong_available() -> bool:
+    return _pyload() is not None
+
+
+def longs_from_le_bytes(buf, n: int, width: int) -> list[int]:
+    """n little-endian unsigned width-byte elements -> list[int].
+
+    ``buf``: bytes or a C-contiguous numpy array with n*width total bytes.
+    """
+    lib = _pyload()
+    if isinstance(buf, np.ndarray):
+        assert buf.flags["C_CONTIGUOUS"] and buf.nbytes == n * width
+        addr = buf.ctypes.data
+        out = lib.lp_longs_from_le(addr, n, width)
+        # keep buf alive across the call (addr borrowed)
+        del buf
+        return out
+    assert len(buf) == n * width
+    return lib.lp_longs_from_le(buf, n, width)
+
+
+def le_bytes_from_longs(values, width: int) -> bytes:
+    """Sequence of non-negative ints -> concatenated width-byte LE bytes
+    (int.to_bytes semantics: OverflowError when a value does not fit)."""
+    lib = _pyload()
+    out = ctypes.create_string_buffer(len(values) * width)
+    rc = lib.lp_le_from_longs(values, width, out)
+    if rc != 0:  # pragma: no cover — ctypes raised already via exception
+        raise RuntimeError("le_bytes_from_longs failed")
+    return out.raw
+
+
+# ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
 
