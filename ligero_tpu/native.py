@@ -51,8 +51,8 @@ def _load() -> ctypes.CDLL | None:
         if have != want:
             os.makedirs(_BUILD_DIR, exist_ok=True)
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-o", _LIB_PATH, _SRC],
+                ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
+                 "-fPIC", "-o", _LIB_PATH, _SRC],
                 check=True, capture_output=True)
             with open(_HASH_PATH, "w") as f:
                 f.write(want)
@@ -323,17 +323,38 @@ def quad_spot_mont(field: FieldSpec, x_u64, y_u64, z_u64,
     return out
 
 
-def chacha_fr_sample(field: FieldSpec, count: int, seed: bytes) -> np.ndarray:
+_sample_bufs = __import__("threading").local()
+
+
+def chacha_fr_sample(field: FieldSpec, count: int, seed: bytes,
+                     reuse: bool = False) -> np.ndarray:
     """``count`` accepted ``F::rand`` draws off a fresh ChaCha20(seed)
     stream, as ``(count, nl)`` raw-u64 limbs (= the Montgomery form; ark
     semantics).  Bit-identical to the numpy sampler in
-    ``sampling.rand_field_elements_limbs`` — cross-checked in tests."""
+    ``sampling.rand_field_elements_limbs`` — cross-checked in tests.
+
+    ``reuse=True`` writes into a per-(count, nl, thread) cached buffer
+    instead of a fresh allocation — callers must consume the result
+    before their next same-shape reuse=True call (the phase-local
+    challenge expansions do).  Why: the challenge vector is regenerated
+    at an identical shape every proof, and first-touch page faults on a
+    fresh ~1 GB allocation dominate the sampler itself on this host
+    (~30s of faulting vs ~4s of generation at 2^22).
+    ``LIGERO_SAMPLER_BUF_CACHE=0`` disables the reuse globally."""
     lib = _load()
     nl, p, n0inv, r2 = _field_args(field)
     shave = 64 * nl - field.modulus_bit_size
     topmask = (0xFFFFFFFFFFFFFFFF >> shave) if shave < 64 else 0
     key = np.frombuffer(seed, dtype=np.uint32)
-    out = np.empty((count, nl), dtype=np.uint64)
+    if reuse and os.environ.get("LIGERO_SAMPLER_BUF_CACHE") != "0":
+        cache = getattr(_sample_bufs, "bufs", None)
+        if cache is None:
+            cache = _sample_bufs.bufs = {}
+        out = cache.get((count, nl))
+        if out is None:
+            out = cache[(count, nl)] = np.empty((count, nl), dtype=np.uint64)
+    else:
+        out = np.empty((count, nl), dtype=np.uint64)
     lib.lh_chacha_fr_sample(
         nl, _ptr(p, ctypes.c_uint64), np.uint64(topmask),
         _ptr(key, ctypes.c_uint32), count, _ptr(out, ctypes.c_uint64))

@@ -56,7 +56,9 @@ def rand_field_elements_u64(field: FieldSpec, count: int, seed: bytes) -> np.nda
         return np.zeros((0, field.num_u64_limbs), dtype=np.uint64)
     from . import native
     if native.available():
-        return native.chacha_fr_sample(field, count, seed)
+        # reuse=True: every caller consumes the vector within its phase
+        # (r^T·A product) before the next same-shape expansion
+        return native.chacha_fr_sample(field, count, seed, reuse=True)
     limbs16 = rand_field_elements_limbs(field, count, seed)
     return native.u16_to_u64_limbs(limbs16)
 
@@ -70,8 +72,10 @@ def rand_field_elements_limbs(field: FieldSpec, count: int, seed: bytes) -> np.n
         return np.zeros((0, field.num_limbs), dtype=np.uint32)
     from . import native
     if native.available():
+        # reuse=True is safe: the u64 draw is converted to a fresh u16
+        # array right here and never escapes
         return _u64s_to_mont_limb16(
-            native.chacha_fr_sample(field, count, seed), field)
+            native.chacha_fr_sample(field, count, seed, reuse=True), field)
     nl = field.num_u64_limbs
     shave = 64 * nl - field.modulus_bit_size
     mask = np.uint64(0xFFFFFFFFFFFFFFFF >> shave) if shave < 64 else np.uint64(0)

@@ -17,6 +17,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 using u64 = uint64_t;
 using u128 = __uint128_t;
@@ -130,6 +131,59 @@ inline void chacha20_block(const uint32_t key[8], u64 counter,
     }
 #undef LH_QR
     for (int i = 0; i < 16; ++i) out[i] = x[i] + s[i];
+}
+
+// 8 consecutive counter-mode blocks at once: state laid out as
+// x[word][block] so every round statement is an independent 8-lane
+// loop the compiler vectorizes (AVX2: one 256-bit op per statement).
+inline void chacha20_blocks8(const uint32_t key[8], u64 counter0,
+                             uint32_t* out /* 16*8 words */) {
+    static const uint32_t C[4] = {0x61707865u, 0x3320646eu,
+                                  0x79622d32u, 0x6b206574u};
+    uint32_t x[16][8];
+    uint32_t c12[8], c13[8];
+    for (int j = 0; j < 8; ++j) {
+        u64 c = counter0 + (u64)j;
+        c12[j] = (uint32_t)c;
+        c13[j] = (uint32_t)(c >> 32);
+    }
+    for (int i = 0; i < 4; ++i)
+        for (int j = 0; j < 8; ++j) x[i][j] = C[i];
+    for (int i = 0; i < 8; ++i)
+        for (int j = 0; j < 8; ++j) x[4 + i][j] = key[i];
+    for (int j = 0; j < 8; ++j) {
+        x[12][j] = c12[j];
+        x[13][j] = c13[j];
+        x[14][j] = 0;
+        x[15][j] = 0;
+    }
+#define LH_QR8(a, b, c, d)                                                 \
+    for (int j = 0; j < 8; ++j) x[a][j] += x[b][j];                        \
+    for (int j = 0; j < 8; ++j) x[d][j] = rotl32(x[d][j] ^ x[a][j], 16);   \
+    for (int j = 0; j < 8; ++j) x[c][j] += x[d][j];                        \
+    for (int j = 0; j < 8; ++j) x[b][j] = rotl32(x[b][j] ^ x[c][j], 12);   \
+    for (int j = 0; j < 8; ++j) x[a][j] += x[b][j];                        \
+    for (int j = 0; j < 8; ++j) x[d][j] = rotl32(x[d][j] ^ x[a][j], 8);    \
+    for (int j = 0; j < 8; ++j) x[c][j] += x[d][j];                        \
+    for (int j = 0; j < 8; ++j) x[b][j] = rotl32(x[b][j] ^ x[c][j], 7);
+    for (int r = 0; r < 10; ++r) {
+        LH_QR8(0, 4, 8, 12) LH_QR8(1, 5, 9, 13)
+        LH_QR8(2, 6, 10, 14) LH_QR8(3, 7, 11, 15)
+        LH_QR8(0, 5, 10, 15) LH_QR8(1, 6, 11, 12)
+        LH_QR8(2, 7, 8, 13) LH_QR8(3, 4, 9, 14)
+    }
+#undef LH_QR8
+    // add the initial state, then store block-major
+    for (int i = 0; i < 4; ++i)
+        for (int j = 0; j < 8; ++j) x[i][j] += C[i];
+    for (int i = 0; i < 8; ++i)
+        for (int j = 0; j < 8; ++j) x[4 + i][j] += key[i];
+    for (int j = 0; j < 8; ++j) {
+        x[12][j] += c12[j];
+        x[13][j] += c13[j];
+    }
+    for (int j = 0; j < 8; ++j)
+        for (int i = 0; i < 16; ++i) out[j * 16 + i] = x[i][j];
 }
 
 Field make_field(int nl, const u64* p, u64 n0inv, const u64* r2) {
@@ -371,31 +425,68 @@ void lh_quad_spot(int nl, const u64* p, u64 n0inv, const u64* r2,
 
 void lh_chacha_fr_sample(int nl, const u64* p, u64 topmask,
                          const uint32_t* key, int64_t count, u64* out) {
-    uint32_t block[16];
-    u64 counter = 0;
-    int widx = 16;
-    u64 cand[MAX_NL];
+    // Chunked batch variant of the serial word-stream sampler: generate
+    // the keystream for a block range in parallel (ChaCha20 is counter-
+    // mode — every block is independent), test every attempt in
+    // parallel, then compact accepted candidates IN ATTEMPT ORDER.
+    // Acceptance order is stream order, so the output is bit-identical
+    // to the serial loop; over-generated keystream is discarded, which
+    // is sound because every expansion uses a fresh squeezed seed (the
+    // stream position never escapes this call).
+    const int wpa = 2 * nl;                 // u32 words per attempt
+    const int64_t CHUNK = 1 << 19;          // attempts per chunk
+    std::vector<uint32_t> ks;
+    std::vector<u64> cands;
+    std::vector<uint8_t> flags;
     int64_t got = 0;
+    u64 word_pos = 0;                       // global stream word offset
     while (got < count) {
-        for (int i = 0; i < nl; ++i) {
-            if (widx >= 16) {
-                chacha20_block(key, counter++, block);
-                widx = 0;
+        int64_t remaining = count - got;
+        // acceptance prob = p / 2^bits (>= 1/2 after the top mask);
+        // 1/4 slack + 64 makes a second chunk astronomically rare
+        int64_t A = remaining + remaining / 4 + 64;
+        if (A > CHUNK) A = CHUNK;
+        u64 word_lo = word_pos;
+        u64 word_hi = word_pos + (u64)A * (u64)wpa;
+        u64 blk_lo = word_lo / 16, blk_hi = (word_hi + 15) / 16;
+        int64_t nblk = (int64_t)(blk_hi - blk_lo);
+        ks.resize((size_t)nblk * 16);
+        int64_t nbatch = (nblk + 7) / 8;
+#pragma omp parallel for schedule(static)
+        for (int64_t t = 0; t < nbatch; ++t) {
+            int64_t b0 = t * 8;
+            if (b0 + 8 <= nblk)
+                chacha20_blocks8(key, blk_lo + (u64)b0, ks.data() + b0 * 16);
+            else
+                for (int64_t b = b0; b < nblk; ++b)
+                    chacha20_block(key, blk_lo + (u64)b, ks.data() + b * 16);
+        }
+        cands.resize((size_t)A * nl);
+        flags.resize((size_t)A);
+        const int64_t base_off = (int64_t)(word_lo - blk_lo * 16);
+#pragma omp parallel for schedule(static)
+        for (int64_t a = 0; a < A; ++a) {
+            const uint32_t* w = ks.data() + base_off + a * wpa;
+            u64 cand[MAX_NL];
+            for (int i = 0; i < nl; ++i)
+                cand[i] = (u64)w[2 * i] | ((u64)w[2 * i + 1] << 32);
+            cand[nl - 1] &= topmask;
+            bool lt = false;
+            for (int i = nl - 1; i >= 0; --i) {
+                if (cand[i] < p[i]) { lt = true; break; }
+                if (cand[i] > p[i]) break;
             }
-            u64 lo = block[widx], hi = block[widx + 1];
-            widx += 2;
-            cand[i] = lo | (hi << 32);
+            flags[a] = (uint8_t)lt;
+            std::memcpy(cands.data() + (size_t)a * nl, cand,
+                        nl * sizeof(u64));
         }
-        cand[nl - 1] &= topmask;
-        bool lt = false;
-        for (int i = nl - 1; i >= 0; --i) {
-            if (cand[i] < p[i]) { lt = true; break; }
-            if (cand[i] > p[i]) break;
-        }
-        if (lt) {
-            std::memcpy(out + got * nl, cand, nl * sizeof(u64));
-            ++got;
-        }
+        for (int64_t a = 0; a < A && got < count; ++a)
+            if (flags[a]) {
+                std::memcpy(out + (size_t)got * nl,
+                            cands.data() + (size_t)a * nl, nl * sizeof(u64));
+                ++got;
+            }
+        word_pos = word_hi;
     }
 }
 

@@ -73,3 +73,26 @@ def test_mont_roundtrip_bn254():
                          "little") % f.p for _ in range(33)]
     mont = f.ints_to_mont_limbs(xs)
     assert f.mont_limbs_to_ints(mont) == xs
+
+
+def test_chacha_sampler_chunk_boundaries_and_reuse():
+    """The chunked-parallel native sampler must match the numpy stream
+    sampler at counts around its 2^19-attempt chunk boundary, and the
+    reuse=True buffer cache must hand back the same storage without
+    changing the draws."""
+    import ligero_tpu.sampling as S
+    f = BN254_FR
+    for count in (1, 7, (1 << 19) - 3, (1 << 19) + 11):
+        seed = bytes(range(32))
+        a = native.chacha_fr_sample(f, count, seed)
+        b = S.rand_field_elements_limbs(f, count, seed)
+        b64 = native.u16_to_u64_limbs(
+            np.asarray(b).reshape(count, f.num_limbs))
+        assert np.array_equal(a, b64), count
+    x = native.chacha_fr_sample(f, 64, b"\x01" * 32, reuse=True)
+    addr = x.ctypes.data
+    want = x.copy()
+    y = native.chacha_fr_sample(f, 64, b"\x01" * 32, reuse=True)
+    assert y.ctypes.data == addr and np.array_equal(y, want)
+    z = native.chacha_fr_sample(f, 64, b"\x01" * 32)  # reuse=False: fresh
+    assert z.ctypes.data != addr and np.array_equal(z, want)
