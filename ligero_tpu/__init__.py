@@ -9,6 +9,13 @@ Public API surface:
 
 from .fields import BLS12_377_FQ, BN254_FR, FIELDS, FieldSpec
 
+if __import__("os").environ.get("LIGERO_MALLOC_TUNE") == "1":
+    # opt-in: keep gigabyte allocations on the reused brk heap (see
+    # native.tune_malloc — first-touch faults dominate fresh big buffers
+    # on some hosts)
+    from . import native as _native
+    _native.tune_malloc()
+
 __version__ = "0.1.0"
 
 __all__ = [

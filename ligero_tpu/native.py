@@ -326,6 +326,27 @@ def quad_spot_mont(field: FieldSpec, x_u64, y_u64, z_u64,
 _sample_bufs = __import__("threading").local()
 
 
+def tune_malloc(mmap_threshold: int = 1 << 31) -> bool:
+    """Route big allocations through the (reused, stays-faulted) brk heap.
+
+    First-touch page faults on this host cost ~130 µs/4 KB page, so every
+    fresh gigabyte-scale allocation (challenge vectors, opened-column
+    downloads — reallocated per proof) pays tens of seconds before any
+    work happens.  glibc serves allocations above M_MMAP_THRESHOLD from
+    fresh mmaps (faulted every time); raising it and disabling trim keeps
+    the pages resident across alloc/free cycles.  Costs RSS (freed blocks
+    stay mapped).  Called at import when ``LIGERO_MALLOC_TUNE=1``."""
+    try:
+        libc = ctypes.CDLL(None)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        ok1 = libc.mallopt(M_MMAP_THRESHOLD,
+                           ctypes.c_int(min(mmap_threshold, 2**31 - 1)))
+        ok2 = libc.mallopt(M_TRIM_THRESHOLD, ctypes.c_int(2**31 - 1))
+        return bool(ok1 and ok2)
+    except Exception:  # noqa: BLE001 — purely advisory
+        return False
+
+
 def chacha_fr_sample(field: FieldSpec, count: int, seed: bytes,
                      reuse: bool = False) -> np.ndarray:
     """``count`` accepted ``F::rand`` draws off a fresh ChaCha20(seed)
