@@ -136,7 +136,8 @@ def _attach_recorded(result: dict) -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     for key, names in (("last_tpu_headline", ("bench_tpu_last.json",)),
                        ("fixtures", ("bench_configs.json",)),
-                       ("at_scale", ("atscale_r4.json",
+                       ("at_scale", ("atscale_r4e.json",
+                                     "atscale_r4.json",
                                      "atscale_r3_final.json",
                                      "atscale_r3.json", "atscale_r2f.json",
                                      "atscale_r2e.json", "atscale_r2d.json",
@@ -148,22 +149,27 @@ def _attach_recorded(result: dict) -> None:
                                             "atscale_r2g.json",
                                             "atscale_r2d.json")),
                        ("cold_start", ("atscale_r3_cold.json",)),
-                       ("at_scale_2pow21", ("atscale_21_r4.json",
+                       ("at_scale_2pow21", ("atscale_21_r4e.json",
+                                            "atscale_21_r4.json",
                                             "atscale_r3_2pow21.json")),
-                       ("at_scale_2pow22", ("atscale_22_r4.json",)),
-                       ("at_scale_sync_attribution", ("atscale_r3_sync.json",)),
+                       ("at_scale_2pow22", ("atscale_22_r4e.json",
+                                            "atscale_22_r4.json")),
+                       ("at_scale_sync_attribution", ("atscale_sync_r4f.json",
+                                                      "atscale_r3_sync.json")),
                        ("streaming_at_scale", ("atscale_streaming_r4b.json",
                                                "atscale_streaming_r4.json",
                                                "atscale_streaming_r3.json",
                                                "atscale_streaming.json")),
-                       ("zk_at_scale", ("atscale_zk_r4.json",
+                       ("zk_at_scale", ("atscale_zk_r4e.json",
+                                        "atscale_zk_r4.json",
                                         "atscale_zk_r3.json",
                                         "atscale_zk.json")),
                        ("mxu_redc_ab", ("mxu_redc_ab.json",)),
                        ("fourstep_ntt", ("fourstep_ntt_validation.json",)),
                        ("scaling_methodology", ("scaling.json",)),
                        ("scaling_attribution", ("scaling_attrib.json",)),
-                       ("core_pieces", ("core_pieces_r3b.json",
+                       ("core_pieces", ("core_pieces_r4f.json",
+                                        "core_pieces_r3b.json",
                                         "core_pieces.json")),
                        ("mxu_ntt", ("mxu_bench_r3.json",
                                     "mxu_ntt_bench.json")),
