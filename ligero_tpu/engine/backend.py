@@ -568,11 +568,7 @@ class Backend:
                 h_, xp.concatenate(
                     [ca, xp.zeros((n, 16 - cw), np.uint32)], axis=-1),
                 byte_len))(h, carry))
-        levels = self._tree_levels(leaves_le)
-        leaves = [words_to_le_bytes(row) for row in leaves_le]
-        inner = [[be_words_to_bytes(row) for row in self.to_numpy(level)]
-                 for level in levels]
-        return leaves, inner
+        return self._digest_lists(leaves_le)
 
     def narrow16(self, a):
         """Device uint32 16-bit-limb array -> uint16 storage (halves the
@@ -1030,6 +1026,51 @@ class Backend:
 
         return self._jit(("tree", leaves_le.shape), run)(self.asarray(leaves_le))
 
+    def _tree_flat(self, leaves_le):
+        """(n, 8) LE leaf words -> ONE flat uint32 vector: the leaves'
+        LE words followed by every SHA-256 level's BE words bottom-up.
+        A single device->host transfer replaces one per tree level —
+        each per-level download costs a tunnel round trip (~13 levels
+        at n=8192)."""
+        def byteswap(x):
+            return (((x & np.uint32(0xFF)) << np.uint32(24))
+                    | ((x & np.uint32(0xFF00)) << np.uint32(8))
+                    | ((x >> np.uint32(8)) & np.uint32(0xFF00))
+                    | (x >> np.uint32(24)))
+
+        def run(lv):
+            xp = self.xp
+            parts = [lv.reshape(-1)]
+            level = byteswap(lv)  # BE words for sha
+            while level.shape[0] > 1:
+                level = self.hk.sha256_two_to_one(level[0::2], level[1::2])
+                parts.append(level.reshape(-1))
+            return xp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+        return self._jit(("tree_flat", leaves_le.shape),
+                         run)(self.asarray(leaves_le))
+
+    def _digest_lists(self, leaves_le):
+        """(n, 8) LE leaf words (device or host) -> ark-layout
+        ``(leaves: list[bytes], inner: list[list[bytes]])`` via the fused
+        flat transfer + vectorized byte packing (the former per-row
+        ``words_to_le_bytes`` loop cost ~10 us x 2n rows per proof)."""
+        n = int(leaves_le.shape[0])
+        flat = np.asarray(self.to_numpy(self._tree_flat(leaves_le)),
+                          dtype=np.uint32)
+        leaves_raw = flat[:n * 8].astype("<u4").tobytes()
+        leaves = [leaves_raw[i * 32:(i + 1) * 32] for i in range(n)]
+        inner_raw = flat[n * 8:].astype(">u4").tobytes()
+        inner, off, size = [], 0, n // 2
+        while size >= 1:
+            inner.append([inner_raw[(off + i) * 32:(off + i + 1) * 32]
+                          for i in range(size)])
+            off += size
+            if size == 1:
+                break
+            size //= 2
+        return leaves, inner
+
     def commit_columns(self, u_canon):
         """Column commitment: Blake2s column leaves + SHA-256 Merkle levels,
         all batched on the device.
@@ -1055,11 +1096,7 @@ class Backend:
                 self._rcm_column_block(u_canon, j, min(j + nc, n))))
                 for j in range(0, n, nc)]
             leaves_le = np.concatenate(parts, axis=0)
-            levels = self._tree_levels(leaves_le)
-            leaves = [words_to_le_bytes(row) for row in self.to_numpy(leaves_le)]
-            inner = [[be_words_to_bytes(row) for row in self.to_numpy(level)]
-                     for level in levels]
-            return leaves, inner
+            return self._digest_lists(leaves_le)
         four_m, n, L = u_canon.shape
         total_bytes = four_m * n * L * 4
         if self.use_jax and total_bytes > self.MAX_DEVICE_BYTES:
@@ -1074,11 +1111,7 @@ class Backend:
             leaves_le = np.concatenate(parts, axis=0)
         else:
             leaves_le = self._column_leaves_device(u_canon)
-        levels = self._tree_levels(leaves_le)
-        leaves = [words_to_le_bytes(row) for row in self.to_numpy(leaves_le)]
-        inner = [[be_words_to_bytes(row) for row in self.to_numpy(level)]
-                 for level in levels]
-        return leaves, inner
+        return self._digest_lists(leaves_le)
 
     # ------------------------------------------------------------------
     # device challenge expansion + sparse r^T A (linear phase, FS #5)

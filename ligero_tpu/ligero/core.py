@@ -1342,11 +1342,17 @@ class LigeroCircuit:
                 rows, cols, vals = self._a_fast.to_coo()
                 vals_u64 = native.ints_to_u64_limbs(vals, self.field.num_u64_limbs)
                 native.to_mont_inplace(self.field, vals_u64)
-                self._a_coo = (rows, cols, vals_u64)
+                # stable column sort: per-column entry order is preserved,
+                # so the parallel column-partitioned kernel accumulates
+                # bit-identically to the serial row-order kernel (tested)
+                order = np.argsort(np.asarray(cols), kind="stable")
+                self._a_coo = (np.ascontiguousarray(np.asarray(rows)[order]),
+                               np.ascontiguousarray(np.asarray(cols)[order]),
+                               np.ascontiguousarray(vals_u64[order]))
             rows, cols, vals_u64 = self._a_coo
             with phase_timer.phase("linear.sparse_rA"):
                 out = native.sparse_row_mul_mont(self.field, rows, cols, vals_u64,
-                                                 r_u64, four_mk)
+                                                 r_u64, four_mk, col_sorted=True)
             with phase_timer.phase("linear.limbs"):
                 # zero-copy u16 view; _jit16 consumers widen on-device
                 r_a_limbs = native.u64_to_u16_view(out, self.field.num_limbs)

@@ -71,6 +71,8 @@ def _load() -> ctypes.CDLL | None:
         lib.lh_sparse_row_mul.argtypes = [
             ctypes.c_int, u64p, ctypes.c_uint64, u64p,
             ctypes.c_int64, i32p, i32p, u64p, u64p, u64p]
+        lib.lh_sparse_row_mul_sorted.argtypes = \
+            lib.lh_sparse_row_mul.argtypes
         lib.lh_poseidon_absorb.argtypes = [
             ctypes.c_int, u64p, ctypes.c_uint64, u64p,
             u64p, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
@@ -275,15 +277,20 @@ def eval_circuit_mont(field: FieldSpec, kinds: np.ndarray, lefts: np.ndarray,
 
 def sparse_row_mul_mont(field: FieldSpec, rows: np.ndarray, cols: np.ndarray,
                         vals_mont_u64: np.ndarray, r_mont_u64: np.ndarray,
-                        num_cols: int) -> np.ndarray:
+                        num_cols: int, col_sorted: bool = False) -> np.ndarray:
+    """``out = r^T A`` over COO entries.  With ``col_sorted=True`` the
+    entries MUST be stably sorted by column — the kernel then partitions
+    columns across OpenMP threads (bit-identical sums: per-column entry
+    order is preserved by the stable sort and each column is owned by
+    exactly one thread)."""
     lib = _load()
     nl, p, n0inv, r2 = _field_args(field)
     out = np.zeros((num_cols, nl), dtype=np.uint64)
-    lib.lh_sparse_row_mul(
-        nl, _ptr(p, ctypes.c_uint64), n0inv, _ptr(r2, ctypes.c_uint64),
-        rows.shape[0], _ptr(rows, ctypes.c_int32), _ptr(cols, ctypes.c_int32),
-        _ptr(vals_mont_u64, ctypes.c_uint64), _ptr(r_mont_u64, ctypes.c_uint64),
-        _ptr(out, ctypes.c_uint64))
+    fn = lib.lh_sparse_row_mul_sorted if col_sorted else lib.lh_sparse_row_mul
+    fn(nl, _ptr(p, ctypes.c_uint64), n0inv, _ptr(r2, ctypes.c_uint64),
+       rows.shape[0], _ptr(rows, ctypes.c_int32), _ptr(cols, ctypes.c_int32),
+       _ptr(vals_mont_u64, ctypes.c_uint64), _ptr(r_mont_u64, ctypes.c_uint64),
+       _ptr(out, ctypes.c_uint64))
     return out
 
 

@@ -435,7 +435,6 @@ class ShardedBackend(Backend):
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
 
-        from ..engine.hashops import be_words_to_bytes, words_to_le_bytes
         co = sc.coeffs
         n, rows = sc.n, sc.rows
         w, L, c, D = co.n, co.L, co.c, co.D
@@ -504,11 +503,7 @@ class ShardedBackend(Backend):
         # all_to_all's tiled split hands device d columns [d*nD, (d+1)*nD):
         # the gathered (D, nD, 8) is already in natural column order
         leaves_le = self.to_numpy(leaves_dev).reshape(n, 8)
-        levels = self._tree_levels(leaves_le)
-        leaves = [words_to_le_bytes(row) for row in leaves_le]
-        inner = [[be_words_to_bytes(row) for row in self.to_numpy(level)]
-                 for level in levels]
-        return leaves, inner
+        return self._digest_lists(leaves_le)
 
     def _quad_streaming(self, co: ShardedCoeffs, r_quad, two_k: int, m: int):
         """p0 = sum_i r_i (x_i y_i - z_i) with the 4m coefficient rows
@@ -702,7 +697,6 @@ class ShardedBackend(Backend):
         return out[:rows] if rows != arr.shape[0] else out
 
     def commit_columns_batch(self, u_canon, B: int):
-        from ..engine.hashops import be_words_to_bytes, words_to_le_bytes
         u = _host_fetch(u_canon)
         BR, n, L = u.shape
         rows = BR // B
@@ -711,15 +705,8 @@ class ShardedBackend(Backend):
         # B*n columns at once
         u_cat = np.concatenate(np.split(u, B, axis=0), axis=1)
         leaves_le = self.to_numpy(self._column_leaves_device(u_cat))
-        out = []
-        for b in range(B):
-            lv = leaves_le[b * n:(b + 1) * n]
-            levels = self._tree_levels(lv)
-            leaves = [words_to_le_bytes(row) for row in lv]
-            inner = [[be_words_to_bytes(row) for row in self.to_numpy(level)]
-                     for level in levels]
-            out.append((leaves, inner))
-        return out
+        return [self._digest_lists(leaves_le[b * n:(b + 1) * n])
+                for b in range(B)]
 
     def _row_replicated_gather(self, flat, idx, B: int, rows: int):
         """(B*rows, n|w, L) row-sharded gather where row r opens the

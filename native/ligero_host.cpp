@@ -18,6 +18,9 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 using u64 = uint64_t;
 using u128 = __uint128_t;
@@ -356,6 +359,39 @@ void lh_sparse_row_mul(int nl, const u64* p, u64 n0inv, const u64* r2,
         u64* dst = out + (int64_t)cols[e] * nl;
         add_mod(f, dst, prod, dst);
     }
+}
+
+// Column-partitioned parallel variant: REQUIRES cols[] nondecreasing
+// (stable column sort preserves per-column entry order, so sums are
+// bit-identical to the serial kernel above).  Each column's entries are
+// contiguous, so snapping every static chunk boundary forward to the
+// next column start gives each thread exclusive ownership of its
+// columns — no atomics.  Threads compute boundaries with the same
+// formula, so ranges tile [0, nnz) exactly.
+void lh_sparse_row_mul_sorted(int nl, const u64* p, u64 n0inv,
+                              const u64* r2, int64_t nnz,
+                              const int32_t* rows, const int32_t* cols,
+                              const u64* vals, const u64* r, u64* out) {
+#ifdef _OPENMP
+    Field f = make_field(nl, p, n0inv, r2);
+#pragma omp parallel
+    {
+        int nth = omp_get_num_threads();
+        int tid = omp_get_thread_num();
+        int64_t lo = nnz * (int64_t)tid / nth;
+        int64_t hi = nnz * (int64_t)(tid + 1) / nth;
+        while (lo > 0 && lo < nnz && cols[lo] == cols[lo - 1]) ++lo;
+        while (hi > 0 && hi < nnz && cols[hi] == cols[hi - 1]) ++hi;
+        u64 prod[MAX_NL];
+        for (int64_t e = lo; e < hi; ++e) {
+            mont_mul(f, r + (int64_t)rows[e] * nl, vals + e * nl, prod);
+            u64* dst = out + (int64_t)cols[e] * nl;
+            add_mod(f, dst, prod, dst);
+        }
+    }
+#else
+    lh_sparse_row_mul(nl, p, n0inv, r2, nnz, rows, cols, vals, r, out);
+#endif
 }
 
 // F::rand rejection sampling straight off the ChaCha20 stream: draw nl

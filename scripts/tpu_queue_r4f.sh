@@ -22,6 +22,11 @@ run probe_r4f 120 python -c "import jax; print(jax.devices())" || {
   echo "tunnel down; aborting" | tee -a "$LOG/queue_r4f.log"
   exit 1; }
 
+# 0. 2^21 clean re-record (the r4e leg's tunnel connection died mid-RPC
+#    and was killed; fresh process = fresh connection)
+run atscale_21_r4e 14400 python scripts/at_scale.py --sizes 21 \
+  --no-canary --out atscale_21_r4e.json
+
 # 1. headline with the new prep (fresh XLA compile of the leaves program)
 run bench_r4f 7200 python bench.py
 

@@ -41,3 +41,24 @@ def test_create_merkle_tree_padding():
     assert len(tree.leaves) == 8
     assert tree.leaves[5:] == [b"", b"", b""]
     assert tree.generate_proof(4).verify(tree.root, leaves[4])
+
+
+def test_digest_lists_matches_per_level_path():
+    """Backend._digest_lists (one fused device transfer + vectorized
+    packing) must equal the per-level _tree_levels download path byte
+    for byte, for every tree size class incl. the n=1 no-inner edge."""
+    import numpy as np
+    from ligero_tpu.engine.backend import Backend
+    from ligero_tpu.engine.hashops import be_words_to_bytes, words_to_le_bytes
+    from ligero_tpu.fields import BN254_FR
+
+    for use_jax in (False, True):
+        be = Backend(BN254_FR, use_jax=use_jax)
+        rng = np.random.default_rng(5)
+        for n in (1, 2, 8, 64):
+            leaves_le = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+            got_leaves, got_inner = be._digest_lists(leaves_le)
+            levels = be._tree_levels(leaves_le)
+            assert got_leaves == [words_to_le_bytes(r) for r in leaves_le]
+            assert got_inner == [[be_words_to_bytes(r)
+                                  for r in be.to_numpy(lv)] for lv in levels]

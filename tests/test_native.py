@@ -131,3 +131,25 @@ def test_quad_spot_matches_host_kernel():
                                 native.u16_to_u64_limbs(r))
     got = F.limbs_to_ints(native.u64_to_u16_limbs(out, F.num_limbs))
     assert got == want
+
+
+def test_sparse_row_mul_sorted_parallel_bitexact():
+    """The column-partitioned OpenMP kernel (col_sorted=True, requires a
+    stable column sort) must produce bit-identical sums to the serial
+    row-order kernel: mod-p accumulation is exact, and the stable sort
+    preserves per-column entry order."""
+    rng = np.random.default_rng(11)
+    F = BN254_FR
+    for nnz, ncols, nrows in [(1, 1, 1), (1000, 64, 128),
+                              (100000, 4096, 8192)]:
+        rows = rng.integers(0, nrows, nnz).astype(np.int32)
+        cols = rng.integers(0, ncols, nnz).astype(np.int32)
+        vals = rng.integers(0, 2**62, (nnz, 4)).astype(np.uint64)
+        r = rng.integers(0, 2**62, (nrows, 4)).astype(np.uint64)
+        a = native.sparse_row_mul_mont(F, rows, cols, vals, r, ncols)
+        order = np.argsort(cols, kind="stable")
+        b = native.sparse_row_mul_mont(
+            F, np.ascontiguousarray(rows[order]),
+            np.ascontiguousarray(cols[order]),
+            np.ascontiguousarray(vals[order]), r, ncols, col_sorted=True)
+        assert np.array_equal(a, b), nnz
