@@ -9,10 +9,13 @@ Public API surface:
 
 from .fields import BLS12_377_FQ, BN254_FR, FIELDS, FieldSpec
 
-if __import__("os").environ.get("LIGERO_MALLOC_TUNE") == "1":
-    # opt-in: keep gigabyte allocations on the reused brk heap (see
-    # native.tune_malloc — first-touch faults dominate fresh big buffers
-    # on some hosts)
+if __import__("os").environ.get("LIGERO_MALLOC_TUNE") != "0":
+    # Default ON since the round-4 A/B (atscale_sync_r4f_malloc.json vs
+    # atscale_sync_r4f.json: 2^19 warm prove 6.34->5.65 s, verify
+    # 3.02->2.60 s): keep gigabyte allocations on the reused brk heap
+    # (native.tune_malloc — first-touch faults dominate fresh big buffers
+    # on some hosts).  Costs RSS (freed blocks stay mapped);
+    # LIGERO_MALLOC_TUNE=0 restores glibc defaults.
     from . import native as _native
     _native.tune_malloc()
 

@@ -21,6 +21,13 @@ from .hashops import HashKernel, be_words_to_bytes, words_to_le_bytes
 from .ntt import DomainOps
 
 
+def _env_on(name: str) -> bool:
+    """Kill-switch env gates are consulted per call, not at import time,
+    so e.g. LIGERO_MXU_LC=0 works regardless of import order."""
+    import os
+    return os.environ.get(name) != "0"
+
+
 _BACKENDS: dict = {}
 
 
@@ -130,7 +137,7 @@ class Backend:
         PERF.md): 105.5M points/s vs 56.2M for the radix-2 VPU kernel at
         n=8192, bit-exact both ways; LIGERO_MXU_NTT=0 restores radix-2.
         Needs both factors >= 32 so the int8 matmuls tile the MXU."""
-        if not (self.use_pallas_ntt and self._mxu_ntt_enabled):
+        if not (self.use_pallas_ntt and _env_on("LIGERO_MXU_NTT")):
             return False
         from .mxu_ntt import mxu_any_ok
         # n <= 8192: single fused kernel; 8192 < n <= 65536: radix-2
@@ -138,8 +145,6 @@ class Backend:
         # Pallas four-step composition takes over.  16-limb fields only
         # (the int8 limb split truncates wider moduli).
         return mxu_any_ok(n, self.field)
-
-    _mxu_ntt_enabled = __import__("os").environ.get("LIGERO_MXU_NTT") != "0"
 
     # largest transform routed through Pallas: up to 16384 the full-VMEM
     # single kernel; past it the four-step composition (two sub-NTT
@@ -738,15 +743,14 @@ class Backend:
             u_canon, self.asarray(np.ascontiguousarray(idx, np.int32)))
         return self.to_numpy(out).astype(np.uint32)
 
-    _mxu_lc_enabled = __import__("os").environ.get("LIGERO_MXU_LC") != "0"
-
     def _use_mxu_lc(self, k: int) -> bool:
         """Route the challenge combination through the MXU int8 limb
         matmul kernel (mxu_lc.py).  Default ON since the on-chip A/B
         (mxu_lc_bench.json): 22.8 ms vs 32.0 ms for the VPU Montgomery
         product at the 2048x512 headline shape, bit-exact both ways;
-        LIGERO_MXU_LC=0 restores the VPU path."""
-        if not (self.use_pallas_ntt and self._mxu_lc_enabled):
+        LIGERO_MXU_LC=0 restores the VPU path (read per call so the
+        documented escape hatch works regardless of import order)."""
+        if not (self.use_pallas_ntt and _env_on("LIGERO_MXU_LC")):
             return False
         from .mxu_lc import mxu_lc_ok
         return mxu_lc_ok(self.field, k)

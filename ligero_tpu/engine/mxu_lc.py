@@ -39,14 +39,33 @@ from .mxu_ntt import L7, MASK16, _FieldVm, _limbs16_to_7, _np_dot_i32, \
 ROWS_MAX = 2048
 
 
+#: VMEM budget for the (L7, L7*k_tile) int32 dot transient
+_VMEM_DOT_BUDGET = 5 << 20
+
+
+def _pick_k_tile(k: int) -> int | None:
+    """Largest 128-multiple divisor of k whose dot transient fits the
+    VMEM budget; None if no admissible tile exists (e.g. k an odd
+    multiple of 128 too large to tile — falls back to the VPU path)."""
+    if k <= 0 or k % 128:
+        return None
+    q = k // 128
+    best = None
+    for d in range(1, q + 1):
+        if q % d == 0 and L7 * L7 * (128 * d) * 4 <= _VMEM_DOT_BUDGET:
+            best = 128 * d
+    return best
+
+
 def mxu_lc_ok(field: FieldSpec, k: int | None = None) -> bool:
     """Field envelope of the MXU NTT (16x16-bit limbs) plus the Mosaic
     lane constraint: the kernel's last block dim is L7*k_tile, which is
     128-divisible iff k_tile is (L7 = 37 is odd) — so k must be a
-    multiple of 128."""
+    multiple of 128 AND admit a tile under the VMEM dot-transient
+    budget (a large odd multiple of 128 like k=3200*... may not)."""
     if field.num_limbs != 16:
         return False
-    return k is None or k % 128 == 0
+    return k is None or _pick_k_tile(k) is not None
 
 
 def _lc_accum(xp, dot, p7_exp, r7, k: int):
@@ -139,10 +158,10 @@ def _mxu_lc_kernel_factory(field_name: str, rows_p: int, k: int,
                            ).astype(jnp.uint32)
 
     # k tiles: the (L7, L7*k_tile) int32 dot transient is the big VMEM
-    # consumer (~2.8 MB at k_tile=512); halving preserves %128 == 0
-    k_tile = k
-    while L7 * L7 * k_tile * 4 > (5 << 20) and k_tile % 256 == 0:
-        k_tile //= 2
+    # consumer (~2.8 MB at k_tile=512); _pick_k_tile guarantees a
+    # 128-multiple divisor of k under the budget (mxu_lc_ok gates)
+    k_tile = _pick_k_tile(k)
+    assert k_tile is not None, "caller must gate on mxu_lc_ok"
 
     def kernel(p_ref, r_ref, o_ref, acc_ref):
         g_r = pl.program_id(1)

@@ -45,11 +45,14 @@ MASK7 = 0x7F
 MASK16 = 0xFFFF
 REDC_STEPS = 17  # divides by 2^(16*17) = 2^272
 
-# LIGERO_MXU_FOLD_REDC=1 replaces the serial 17-step REDC chain with the
-# data-parallel fold (_FieldVm.fold_redc_cols) inside the MXU kernel —
-# bit-identical; kept opt-in until the on-chip rate comparison lands
-# (scripts/bench_mxu_redc.py)
-FOLD_REDC = __import__("os").environ.get("LIGERO_MXU_FOLD_REDC") == "1"
+# The data-parallel fold REDC (_FieldVm.fold_redc_cols) measured 0.98x
+# the serial 17-step chain on-chip (mxu_redc_ab.json, PERF.md round-4
+# A/Bs) — the batch dimension already pipelines the chain, so the fold's
+# ~3x op count buys nothing HERE.  The env knob is retired; the flag
+# stays as a module constant so tests can pin fold-vs-chain bit equality
+# (mxu_lc.py's single-vector finisher still uses the fold, where there is
+# no batch axis to pipeline over).
+FOLD_REDC = False
 
 
 def split_n(n: int) -> tuple[int, int]:
@@ -60,10 +63,11 @@ def split_n(n: int) -> tuple[int, int]:
 
 
 #: smallest n2 the single kernel accepts (exactness only needs n1 <= 128;
-#: this is a tiling-efficiency floor — n=512 has n2=16 and pads to 128
-#: lanes either way, so LIGERO_MXU_MIN_N2=16 may win; A/B in
-#: scripts/bench_mxu_redc.py --small)
-MIN_N2 = int(__import__("os").environ.get("LIGERO_MXU_MIN_N2", "32"))
+#: this is a tiling-efficiency floor).  The relaxed n2=16 envelope was
+#: A/B'd on-chip and LOST (26.4M vs 36.1M points/s radix-2 at n=512,
+#: mxu_redc_ab.json) — the env override is retired; scripts can still
+#: monkeypatch the constant for re-measurement.
+MIN_N2 = 32
 
 
 def mxu_ok(n: int) -> bool:

@@ -1337,7 +1337,11 @@ class LigeroCircuit:
             # u64-limb path end to end: sampler output feeds the sparse
             # product directly, no u64->u16->u64 round trip
             with phase_timer.phase("linear.expand"):
-                r_u64 = rand_field_elements_u64(self.field, four_mk, seed)
+                # reuse=True: consumed by the r^T·A product below before
+                # any other same-shape draw can run (aliasing contract in
+                # sampling.rand_field_elements_u64)
+                r_u64 = rand_field_elements_u64(self.field, four_mk, seed,
+                                                reuse=True)
             if not hasattr(self, "_a_coo"):
                 rows, cols, vals = self._a_fast.to_coo()
                 vals_u64 = native.ints_to_u64_limbs(vals, self.field.num_u64_limbs)

@@ -28,10 +28,19 @@ _lib = None
 _tried = False
 
 
-def _src_hash() -> str:
+#: g++ command line for the host kernel lib (part of the cache key: a
+#: flags-only change must rebuild, not silently serve a stale .so)
+_HOST_FLAGS = ["-O3", "-march=native", "-fopenmp", "-shared", "-fPIC"]
+
+
+def _build_hash(src_path: str, flags: list[str]) -> str:
     import hashlib
-    with open(_SRC, "rb") as f:
-        return hashlib.sha256(f.read()).hexdigest()
+    with open(src_path, "rb") as f:
+        return hashlib.sha256(f.read() + " ".join(flags).encode()).hexdigest()
+
+
+def _src_hash() -> str:
+    return _build_hash(_SRC, _HOST_FLAGS)
 
 
 def _load() -> ctypes.CDLL | None:
@@ -51,8 +60,7 @@ def _load() -> ctypes.CDLL | None:
         if have != want:
             os.makedirs(_BUILD_DIR, exist_ok=True)
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
-                 "-fPIC", "-o", _LIB_PATH, _SRC],
+                ["g++", *_HOST_FLAGS, "-o", _LIB_PATH, _SRC],
                 check=True, capture_output=True)
             with open(_HASH_PATH, "w") as f:
                 f.write(want)
@@ -117,10 +125,10 @@ def _pyload():
         return _pylib
     _pytried = True
     try:
-        import hashlib
         import sysconfig
-        with open(_PYSRC, "rb") as f:
-            want = hashlib.sha256(f.read()).hexdigest()
+        pyflags = ["-O3", "-shared", "-fPIC",
+                   "-I" + sysconfig.get_paths()["include"]]
+        want = _build_hash(_PYSRC, pyflags)
         have = None
         if os.path.exists(_PYLIB_PATH) and os.path.exists(_PYHASH_PATH):
             with open(_PYHASH_PATH) as f:
@@ -128,9 +136,7 @@ def _pyload():
         if have != want:
             os.makedirs(_BUILD_DIR, exist_ok=True)
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC",
-                 "-I" + sysconfig.get_paths()["include"],
-                 "-o", _PYLIB_PATH, _PYSRC],
+                ["g++", *pyflags, "-o", _PYLIB_PATH, _PYSRC],
                 check=True, capture_output=True)
             with open(_PYHASH_PATH, "w") as f:
                 f.write(want)

@@ -113,10 +113,10 @@ def make_prover_core(field: FieldSpec, four_m: int, k: int, n: int,
         return encode_block(preenc)
 
     def encode_pallas(preenc):
-        from ..engine.backend import Backend
+        from ..engine.backend import _env_on
         from ..engine.mxu_ntt import mxu_any_ok, mxu_ntt_any
         from ..engine.pallas_ntt import ntt_pallas
-        use_mxu = Backend._mxu_ntt_enabled  # LIGERO_MXU_NTT gate
+        use_mxu = _env_on("LIGERO_MXU_NTT")
         if use_mxu and mxu_any_ok(k, field):
             coeffs = mxu_ntt_any(field, preenc, k, inverse=True)
         else:
@@ -144,11 +144,19 @@ def make_prover_core(field: FieldSpec, four_m: int, k: int, n: int,
                 level = hk.sha256_two_to_one(level[0::2], level[1::2])
             root = level[0]
         if use_pallas:
-            # Pallas Montgomery products (119M mul/s vs ~19M for the XLA
-            # limb graph) + one exact uint32 row reduction
-            from ..engine.pallas_kernels import mont_mul_pallas
-            prod = mont_mul_pallas(field, preenc, r[:, None, :])
-            lc = fk.sum_mod_wide(prod, axis=0)
+            from ..engine.backend import _env_on
+            from ..engine.mxu_lc import mxu_lc, mxu_lc_ok
+            if _env_on("LIGERO_MXU_LC") and mxu_lc_ok(field, k):
+                # MXU int8 limb contraction: 22.8 ms vs 32.0 ms for the
+                # VPU Montgomery product at the headline shape
+                # (mxu_lc_bench.json) — same default as Backend.row_combine
+                lc = mxu_lc(field, preenc, r)
+            else:
+                # Pallas Montgomery products (119M mul/s vs ~19M for the
+                # XLA limb graph) + one exact uint32 row reduction
+                from ..engine.pallas_kernels import mont_mul_pallas
+                prod = mont_mul_pallas(field, preenc, r[:, None, :])
+                lc = fk.sum_mod_wide(prod, axis=0)
         else:
             lc = fk.sum_mod(fk.mont_mul(r[:, None, :], preenc), axis=0)
         return u_canon, leaves_le, root, lc

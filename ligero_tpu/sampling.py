@@ -44,21 +44,30 @@ def _u64s_to_mont_limb16(u64s: np.ndarray, field: FieldSpec) -> np.ndarray:
     return u16.astype(np.uint32)
 
 
-def rand_field_elements_u64(field: FieldSpec, count: int, seed: bytes) -> np.ndarray:
+def rand_field_elements_u64(field: FieldSpec, count: int, seed: bytes,
+                            reuse: bool = False) -> np.ndarray:
     """``get_field_elements_from_prng`` as ``(count, NL)`` u64 limbs.
 
     Same draws as :func:`rand_field_elements_limbs` (Montgomery form), kept
     in the u64-limb layout the native host kernels consume — callers that
     feed ``native.sparse_row_mul_mont`` etc. skip the u64→u16→u64 round
     trip (a ~2.4s/2.97M-elem host cost at the 2^19 linear phase).
+
+    ``reuse=True`` returns a view of a shared per-(count, limbs, thread)
+    cached buffer — it is INVALIDATED by the next same-shape draw with
+    ``reuse=True`` (including the internal draw in
+    :func:`rand_field_elements_limbs`).  Only opt in when the vector is
+    consumed before any other expansion can run (the ``_r_a_coeff_rows``
+    phase-local product does; the default keeps ownership with the caller
+    at the cost of a fresh allocation — first-touch faults on this host
+    run ~30 s/GB, see PERF.md).
     """
     if count == 0:
         return np.zeros((0, field.num_u64_limbs), dtype=np.uint64)
     from . import native
     if native.available():
-        # reuse=True: every caller consumes the vector within its phase
-        # (r^T·A product) before the next same-shape expansion
-        return native.chacha_fr_sample(field, count, seed, reuse=True)
+        out = native.chacha_fr_sample(field, count, seed, reuse=True)
+        return out if reuse else out.copy()
     limbs16 = rand_field_elements_limbs(field, count, seed)
     return native.u16_to_u64_limbs(limbs16)
 

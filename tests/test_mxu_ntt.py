@@ -272,3 +272,56 @@ def test_mxu_lc_pallas_interpret_bit_exact():
         got = np.asarray(mxu_lc(F, jnp.asarray(preenc), jnp.asarray(r),
                                 interpret=True), np.uint32)
         assert np.array_equal(ref, got), (rows, k)
+
+
+def test_mxu_lc_k_tile_gate():
+    """ADVICE r4 #2: mxu_lc_ok must reject k values whose largest
+    128-divisible tile still exceeds the VMEM dot-transient budget
+    (e.g. k = 128 * large-prime), instead of passing the gate and
+    failing to lower; admissible k picks the largest in-budget divisor."""
+    from ligero_tpu.engine.mxu_lc import (_VMEM_DOT_BUDGET, L7, _pick_k_tile,
+                                          mxu_lc_ok)
+    from ligero_tpu.fields import BLS12_377_FQ, BN254_FR
+
+    assert _pick_k_tile(512) == 512            # fits whole
+    assert _pick_k_tile(1024) == 512           # halves into budget
+    assert _pick_k_tile(4096) == 512
+    assert _pick_k_tile(640) == 640            # odd multiple, in budget
+    assert _pick_k_tile(140 * 128) == 896      # 128*140 -> best divisor 128*7
+    assert _pick_k_tile(127) is None           # not 128-divisible
+    # k = 128 * p for prime p too large to fit: only tiles are 128*p
+    # (over budget) and 128 (in budget) -> 128 is admissible
+    assert _pick_k_tile(128 * 9973) == 128
+    # every admissible tile respects the budget
+    for k in (128, 256, 512, 640, 1024, 2048, 128 * 3 * 5 * 7):
+        t = _pick_k_tile(k)
+        assert t is not None and k % t == 0 and t % 128 == 0
+        assert L7 * L7 * t * 4 <= _VMEM_DOT_BUDGET
+    assert mxu_lc_ok(BN254_FR, 512) and not mxu_lc_ok(BN254_FR, 127)
+    assert not mxu_lc_ok(BLS12_377_FQ, 512)    # 24-limb field excluded
+
+
+def test_rand_field_elements_u64_reuse_contract():
+    """ADVICE r4 #1: the public u64 sampler OWNS its result by default
+    (fresh buffer per call); reuse=True opts into the shared cached
+    buffer for phase-local consumers."""
+    import numpy as np
+
+    from ligero_tpu import native
+    from ligero_tpu.fields import BN254_FR as F
+    from ligero_tpu.sampling import rand_field_elements_u64
+
+    if not native.available():  # the cache only exists on the native path
+        import pytest
+        pytest.skip("native kernels unavailable")
+    seed_a, seed_b = bytes(range(32)), bytes(range(1, 33))
+    a = rand_field_elements_u64(F, 1000, seed_a)
+    a_copy = a.copy()
+    b = rand_field_elements_u64(F, 1000, seed_b)       # same shape, new draw
+    assert not np.shares_memory(a, b)
+    assert np.array_equal(a, a_copy)                   # default: no aliasing
+    ra = rand_field_elements_u64(F, 1000, seed_a, reuse=True)
+    rb = rand_field_elements_u64(F, 1000, seed_b, reuse=True)
+    assert np.shares_memory(ra, rb)                    # documented aliasing
+    assert np.array_equal(rb, b)
+    assert np.array_equal(a, a_copy)                   # defaults unaffected
