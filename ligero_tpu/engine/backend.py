@@ -208,6 +208,33 @@ class Backend:
         return self._jit16(("fft", n, coeffs.shape),
                            lambda x: self._fft_padded(x, n))(coeffs)
 
+    def _use_mxu_spot(self, n: int, t: int) -> bool:
+        """Direct MXU evaluation at the t opened columns instead of full
+        n-point NTTs (mxu_spot.py): a dense (rows, k) x (k, t) int8 limb
+        contraction is MXU work at ~milliseconds where the NTT route is
+        seconds of VPU time (v.ntt_cols 7.1 s at 2^22, atscale_22_r4e).
+        Default ON; LIGERO_MXU_SPOT=0 restores the NTT route."""
+        if not (self.use_jax and self.use_pallas_ntt
+                and _env_on("LIGERO_MXU_SPOT")):
+            return False
+        from .mxu_spot import mxu_spot_ok
+        return 0 < t <= 4096 and mxu_spot_ok(self.field, n)
+
+    def _spot_weights_dev(self, k: int, n: int, jdev):
+        from .mxu_spot import spot_weights
+        return self._jit(("spot_w", k, int(jdev.shape[0]), n),
+                         lambda j: spot_weights(self.xp, self.field,
+                                                j, k, n))(jdev)
+
+    def _spot_block16(self, blk, w7, n: int, canon: bool):
+        """One row block's spot evaluations, as uint16 for the download."""
+        from .mxu_spot import mxu_spot_eval
+        fn = self._jit(
+            ("spot_cols", tuple(blk.shape), tuple(w7.shape), n, canon),
+            lambda c, w: mxu_spot_eval(self.xp, self.field, c, w,
+                                       canon_out=canon).astype(np.uint16))
+        return fn(blk, w7)
+
     def ntt_columns(self, coeffs, n: int, js: np.ndarray) -> np.ndarray:
         """Evaluate all B rows' n-point NTTs but return only columns ``js``:
         (B, k, L) -> (B, len(js), L) numpy.
@@ -216,9 +243,34 @@ class Backend:
         opened columns (reference mod.rs:815-829 computes all n per row);
         gathering on-device keeps the full (B, n, L) matrix out of both
         HBM-resident memory (row chunks respect the buffer budget) and the
-        host transfer.
+        host transfer.  When the MXU spot kernel is admissible it replaces
+        the per-row NTTs entirely (bit-identical output — tested).
         """
         js = np.ascontiguousarray(np.asarray(js, dtype=np.int32))
+        if self._use_mxu_spot(n, len(js)):
+            jdev = self.asarray(js)
+            if isinstance(coeffs, RowChunkedMatrix):
+                w7 = self._spot_weights_dev(coeffs.n, n, jdev)
+                parts = [self.to_numpy(self._spot_block16(c, w7, n, False))
+                         for c in coeffs.chunks]
+                return np.concatenate(
+                    parts, axis=0)[:coeffs.rows].astype(np.uint32)
+            B, k, L = coeffs.shape
+            w7 = self._spot_weights_dev(k, n, jdev)
+            # row chunks bound the per-dispatch limb-plane transients
+            chunk = max(8, self.MAX_DEVICE_BYTES // (n * L * 4))
+            parts = []
+            for i in range(0, B, chunk):
+                blk = coeffs[i:i + chunk]
+                rows = blk.shape[0]
+                xp0 = np if isinstance(blk, np.ndarray) else self.xp
+                if rows < chunk and B > chunk:
+                    blk = xp0.concatenate(
+                        [blk, xp0.zeros((chunk - rows,) + tuple(blk.shape[1:]),
+                                        blk.dtype)])
+                res = self._spot_block16(self.asarray(blk), w7, n, False)
+                parts.append(self.to_numpy(res)[:rows])
+            return np.concatenate(parts, axis=0).astype(np.uint32)
         if isinstance(coeffs, RowChunkedMatrix):
             jdev = self.asarray(js)
 
@@ -278,6 +330,12 @@ class Backend:
         coeffs_b = np.ascontiguousarray(coeffs_b)
         B, rows, w, L = coeffs_b.shape
         idx = np.ascontiguousarray(np.asarray(idx, dtype=np.int32))
+        if self._use_mxu_spot(n, idx.shape[1]):
+            # per-proof MXU spot evaluation (bit-identical; the batched
+            # NTT's win was amortizing the full-encode — the spot kernel
+            # removes that cost instead)
+            return np.stack([self.ntt_columns(coeffs_b[i], n, idx[i])
+                             for i in range(B)], axis=0)
         per_proof = rows * n * L * 4
         sub = max(1, self.MAX_DEVICE_BYTES // per_proof)
         if self.use_jax and sub < B:
@@ -625,12 +683,22 @@ class Backend:
         is device-resident."""
         js = np.asarray(js, dtype=np.int64)
         if isinstance(u_canon, StreamedCodewords):
-            # re-encode each coefficient chunk (the SAME executable the
-            # streaming commit compiled) and keep only the opened columns:
-            # one (chunk, n, L) codeword transient at a time
             xp = self.xp
             n, k = u_canon.n, u_canon.coeffs.n
             jdev = self.asarray(js.astype(np.int32))
+            if self._use_mxu_spot(n, len(js)):
+                # direct MXU evaluation of the opened columns from the
+                # coefficient chunks (canonical epilogue folded into the
+                # REDC step count) — replaces the full per-chunk
+                # re-encode; bit-identical (tested)
+                w7 = self._spot_weights_dev(k, n, jdev)
+                parts = [self.to_numpy(self._spot_block16(c, w7, n, True))
+                         for c in u_canon.coeffs.chunks]
+                return np.concatenate(
+                    parts, axis=0)[:u_canon.rows].astype(np.uint32)
+            # re-encode each coefficient chunk (the SAME executable the
+            # streaming commit compiled) and keep only the opened columns:
+            # one (chunk, n, L) codeword transient at a time
             take = self._jit(
                 ("stream_gather_cols", u_canon.coeffs.chunks[0].shape[0],
                  n, len(js)),
@@ -1120,19 +1188,23 @@ class Backend:
     # ------------------------------------------------------------------
     # device challenge expansion + sparse r^T A (linear phase, FS #5)
     # ------------------------------------------------------------------
-    def rand_field_mont(self, count: int, seed: bytes):
+    def rand_field_mont(self, count: int, seed: bytes, narrow: bool = False):
         """``F::rand`` challenge expansion on the device.
 
         Bit-identical to :func:`ligero_tpu.sampling.rand_field_elements_limbs`
         (same ChaCha20 stream, same rejection order — tested).  Returns a
-        device ``(count, L)`` uint32 limb array, or ``None`` on attempt
-        shortfall (probability hundreds of sigma below mean; the caller
-        falls back to the host sampler, preserving exactness)."""
+        device ``(count, L)`` limb array (uint32, or uint16 with
+        ``narrow=True`` — same values, half the HBM; the 2^22-scale path
+        needs it to stay under the single-buffer corruption bound), or
+        ``None`` on attempt shortfall (probability hundreds of sigma
+        below mean; the caller falls back to the host sampler,
+        preserving exactness)."""
         from .devsampler import fr_sample_device
         key = np.frombuffer(seed, dtype="<u4").astype(np.uint32)
-        fn = self._jit(("fr_sample", count),
+        fn = self._jit(("fr_sample", count, narrow),
                        lambda kw: fr_sample_device(self.xp, self.field,
-                                                   kw, count))
+                                                   kw, count,
+                                                   out_u16=narrow))
         limbs, accepted = fn(self.asarray(key))
         if int(accepted) < count:
             return None
@@ -1153,7 +1225,8 @@ class Backend:
 
         def raw_sums(vals, rids, cids, r):
             xp = self.xp
-            gathered = xp.take(r, rids, axis=0)
+            gathered = xp.take(r, rids, axis=0).astype(np.uint32)
+            vals = vals.astype(np.uint32)
             if self.use_pallas_ntt:
                 # Pallas Montgomery products (~6x the XLA limb graph at
                 # these nnz sizes; bit-identical — canonical output)
@@ -1200,7 +1273,7 @@ class Backend:
             if cnt < chunk:  # zero-value padding contributes nothing
                 xp = self.xp
                 v = xp.concatenate(
-                    [v, xp.zeros((chunk - cnt, v.shape[1]), np.uint32)])
+                    [v, xp.zeros((chunk - cnt, v.shape[1]), v.dtype)])
                 ri = xp.concatenate(
                     [ri, xp.zeros((chunk - cnt,), ri.dtype)])
                 # pad with the LAST column id: zero values contribute
@@ -1210,6 +1283,90 @@ class Backend:
             part = sums_fn(v, ri, ci, r_mont)
             acc = part if acc is None else acc + part  # exact u32 sums
         return self._jit(("sparse_rA_fold", num_cols), fold)(acc)
+
+    def sparse_rA_mont_blocked(self, rowids, colids, vals_mont, r_mont,
+                               num_cols: int, block_cols: int,
+                               host_cols: np.ndarray):
+        """Column-blocked ``r^T·A``: yields canonical ``(block_cols, L)``
+        device blocks of the product, in column order.
+
+        The 2^22-scale variant of :meth:`sparse_rA_mont`: the full
+        ``(num_cols, L)`` u32 output (2.15 GB at 4mk = 33.6M) would cross
+        the single-buffer corruption bound, so the output column space is
+        processed in ``block_cols``-wide blocks (the caller iNTTs each
+        into a RowChunkedMatrix row chunk).  ``host_cols`` is the host
+        copy of the column-sorted ``colids`` (block entry ranges come
+        from one searchsorted).  Same u32 accumulation + exact fold as
+        ``sparse_rA_mont`` — per-block segment sums see the same entries
+        in the same order, so the result is bit-identical.  The final
+        partial block is zero-padded to ``block_cols`` (padded columns
+        fold to canonical zeros; the caller's row accounting masks them).
+
+        Entry chunks pad to a power-of-two bucket (2^19..2^22) so at most
+        four kernel shapes ever compile, regardless of per-block density
+        skew (the w-section blocks of A carry most of the mass)."""
+        xp = self.xp
+        L = r_mont.shape[-1]
+        y0 = self.field.ints_to_limbs([self.field.to_mont(1)])[0]
+        y1 = self.field.ints_to_limbs([self.field.to_mont(1 << 16)])[0]
+
+        def raw_sums_blk(vals, rids, cids, c0, r):
+            gathered = xp.take(r, rids, axis=0).astype(np.uint32)
+            vals = vals.astype(np.uint32)
+            if self.use_pallas_ntt:
+                from .pallas_kernels import mont_mul_pallas
+                prod = mont_mul_pallas(self.field, vals, gathered)
+            else:
+                prod = self.fk.mont_mul(vals, gathered)
+            return self._jax.ops.segment_sum(
+                prod, cids - c0, num_segments=block_cols,
+                indices_are_sorted=True)
+
+        def fold_blk(sums):
+            lo, hi = sums & np.uint32(0xFFFF), sums >> np.uint32(16)
+            return self.fk.add(
+                self.fk.mont_mul(lo, xp.broadcast_to(self.asarray(y0),
+                                                     (block_cols, L))),
+                self.fk.mont_mul(hi, xp.broadcast_to(self.asarray(y1),
+                                                     (block_cols, L))))
+
+        fold_fn = self._jit(("sparse_rA_blk_fold", block_cols), fold_blk)
+        n_blocks = -(-num_cols // block_cols)
+        bounds = np.searchsorted(
+            host_cols, np.arange(n_blocks + 1, dtype=np.int64) * block_cols)
+        q_min, q_max = 1 << 19, 1 << 22
+        for bi in range(n_blocks):
+            c0 = bi * block_cols
+            e0, e1 = int(bounds[bi]), int(bounds[bi + 1])
+            if e0 == e1:
+                yield xp.zeros((block_cols, L), np.uint32)
+                continue
+            c0_dev = np.int32(c0)
+            acc = None
+            i = e0
+            while i < e1:
+                rem = e1 - i
+                q = q_max if rem >= q_max else max(
+                    q_min, 1 << (rem - 1).bit_length())
+                cnt = min(rem, q)
+                v = vals_mont[i:i + cnt]
+                ri = rowids[i:i + cnt]
+                ci = colids[i:i + cnt]
+                if cnt < q:  # zero-value padding contributes nothing
+                    v = xp.concatenate(
+                        [v, xp.zeros((q - cnt, v.shape[1]), v.dtype)])
+                    ri = xp.concatenate(
+                        [ri, xp.zeros((q - cnt,), ri.dtype)])
+                    # pad with the block's LAST column id: keeps the ids
+                    # sorted; zero values contribute nothing
+                    ci = xp.concatenate(
+                        [ci, xp.full((q - cnt,), c0 + block_cols - 1,
+                                     ci.dtype)])
+                part = self._jit(("sparse_rA_blk", q, block_cols),
+                                 raw_sums_blk)(v, ri, ci, c0_dev, r_mont)
+                acc = part if acc is None else acc + part  # exact u32
+                i += cnt
+            yield fold_fn(acc)
 
     # ------------------------------------------------------------------
     # host <-> device value conversion helpers

@@ -78,12 +78,19 @@ def plan_attempts(field: FieldSpec, count: int) -> int:
     return int(count / accept * 1.05) + 64
 
 
-def fr_sample_device(xp, field: FieldSpec, key_words, count: int):
-    """``count`` ``F::rand`` draws as ``(count, L)`` uint32 16-bit limbs
+def fr_sample_device(xp, field: FieldSpec, key_words, count: int,
+                     out_u16: bool = False):
+    """``count`` ``F::rand`` draws as ``(count, L)`` 16-bit limbs
     (Montgomery form, ark semantics) plus the accepted-attempt count.
 
     Traced function: jit it keyed on ``count``.  The caller must check
     ``accepted >= count`` and fall back to the host sampler otherwise.
+
+    ``out_u16``: emit the limbs as uint16 instead of uint32 — same
+    values; halves the output buffer so a 2^22-scale challenge vector
+    (33.6M elements) stays under the ~2 GB single-buffer corruption
+    bound (PERF.md).  The narrowing happens before the limb stack so no
+    full-width u32 intermediate is ever materialized.
     """
     nl = field.num_u64_limbs
     words_per = 2 * nl                       # u32 words per attempt
@@ -125,7 +132,9 @@ def fr_sample_device(xp, field: FieldSpec, key_words, count: int):
         out = out.at[dest].set(cand, mode="drop")
     out = out[:count]
 
-    # u32 words -> 16-bit limbs (u32 dtype), little-endian limb order
-    limbs = xp.stack([out & np.uint32(0xFFFF), out >> np.uint32(16)],
-                     axis=-1).reshape(count, 2 * words_per)
+    # u32 words -> 16-bit limbs, little-endian limb order
+    lo, hi = out & np.uint32(0xFFFF), out >> np.uint32(16)
+    if out_u16:
+        lo, hi = lo.astype(np.uint16), hi.astype(np.uint16)
+    limbs = xp.stack([lo, hi], axis=-1).reshape(count, 2 * words_per)
     return limbs, accepted

@@ -56,9 +56,18 @@ FOLD_REDC = False
 
 
 def split_n(n: int) -> tuple[int, int]:
-    """n = n1*n2, both powers of two, n1 >= n2 (as square as possible)."""
+    """n = n1*n2, both powers of two, preferring the tallest admissible
+    stage-1 factor: n1 = min(128, n/32).
+
+    Round-5 on-chip A/B at n=4096, batch 2048 (mxu_factors_ab.json):
+    (128, 32) 103.0M points/s vs (64, 64) 95.0M vs (32, 128) 45.2M —
+    taller n1 gives the stage matmuls better MXU tiles, consistent with
+    n=8192's (128, 64) plateau.  Bit-exact for any admissible pair
+    (verified per variant in the A/B)."""
     log = n.bit_length() - 1
     n1 = 1 << ((log + 1) // 2)
+    while n1 < 128 and n // (2 * n1) >= 32:
+        n1 *= 2
     return n1, n // n1
 
 

@@ -1333,6 +1333,34 @@ class LigeroCircuit:
                 with phase_timer.phase("linear.intt"):
                     return be.intt(r_a.reshape(4 * self.m, self.k, -1),
                                    self.k)
+        # 2^22-scale device path (round-5; r4 VERDICT items 2-3): the
+        # (4mk, L) u32 challenge vector / product (2.15 GB at 4mk=33.6M)
+        # would cross the single-buffer corruption bound, so the vector
+        # stays u16-resident and the product + iNTT run in column blocks
+        # aligned with the streaming row-chunk layout.  Bit-identical to
+        # the host path (tested); prover AND verifier share this method.
+        fits_blocked = (four_mk * self.field.num_limbs * 2
+                        <= 7 * Backend.MAX_DEVICE_BYTES)
+        if (be.use_jax and not fits_device and fits_blocked
+                and self._device_coo(four_mk) is not None):
+            with phase_timer.phase("linear.expand"):
+                r_dev = be.rand_field_mont(four_mk, seed, narrow=True)
+            if r_dev is not None:
+                rowids, colids, vals_dev = self._device_coo(four_mk)
+                rb = be._stream_chunk_rows(self.field, self.k)
+                blocks = iter(be.sparse_rA_mont_blocked(
+                    rowids, colids, vals_dev, r_dev, four_mk,
+                    rb * self.k, self._a_coo_host_cols))
+                chunks = []
+                while True:
+                    with phase_timer.phase("linear.sparse_rA"):
+                        canon = next(blocks, None)
+                    if canon is None:
+                        break
+                    with phase_timer.phase("linear.intt"):
+                        chunks.append(be.narrow16(
+                            be.intt(canon.reshape(rb, self.k, -1), self.k)))
+                return RowChunkedMatrix(chunks, 4 * self.m, rb)
         if native.available():
             # u64-limb path end to end: sampler output feeds the sparse
             # product directly, no u64->u16->u64 round trip
@@ -1390,9 +1418,15 @@ class LigeroCircuit:
                 vals_mont = self.field.ints_to_mont_limbs(
                     [vals[i] for i in order])
                 be = self.backend
+                cols_sorted = cols[order]
+                # host copy of the sorted column ids: the blocked 2^22
+                # path derives block entry ranges with one searchsorted
+                self._a_coo_host_cols = cols_sorted
+                # vals stay uint16 on device (halves the resident nnz
+                # buffer; the sparse kernels widen per entry chunk)
                 self._a_coo_dev = (
-                    be.asarray(rows[order]), be.asarray(cols[order]),
-                    be.asarray(vals_mont.astype(np.uint16)).astype(np.uint32))
+                    be.asarray(rows[order]), be.asarray(cols_sorted),
+                    be.asarray(vals_mont.astype(np.uint16)))
         return self._a_coo_dev
 
     def _prove_linear(self, u_coeffs, sponge):

@@ -86,3 +86,81 @@ def test_prove_uses_device_path_and_matches_numpy_proof():
     # the device COO cache must have engaged on the jax circuit
     assert getattr(lj, "_a_coo_dev", None) is not None
     assert ln.verify(pj, test_sponge(F))
+
+
+@pytest.mark.parametrize("count", [5, 20000])
+def test_fr_sample_device_u16_matches_u32(count):
+    """narrow output (the 2^22-scale path): same values, uint16 dtype."""
+    key = key_words_from_seed(SEEDS[2]).astype(np.uint32)
+    want, _ = fr_sample_device(np, F, key, count)
+    got, accepted = fr_sample_device(np, F, key, count, out_u16=True)
+    assert got.dtype == np.uint16 and int(accepted) >= count
+    assert np.array_equal(want, got.astype(np.uint32))
+
+
+def test_sparse_rA_blocked_matches_unblocked():
+    """sparse_rA_mont_blocked (the 2^22-scale column-blocked product with
+    a u16-resident challenge vector) is bit-identical to sparse_rA_mont,
+    including the zero-padded final block and an empty block."""
+    rng = np.random.default_rng(5)
+    num_cols, nnz, nrows = 1100, 4000, 300
+    block_cols = 256  # 5 blocks, final one partial (1100 = 4*256 + 76)
+    rows = rng.integers(0, nrows, nnz).astype(np.int32)
+    # leave block 2 ([512, 768)) empty to hit the zero-block fast path
+    cols = rng.integers(0, num_cols - 256, nnz).astype(np.int32)
+    cols = np.where(cols >= 512, cols + 256, cols)
+    vals = [int(rng.integers(0, 1 << 63)) % F.p for _ in range(nnz)]
+    r_limbs = rand_field_elements_limbs(F, nrows, SEEDS[0])
+
+    be = get_backend(F, use_jax=True)
+    order = np.argsort(cols, kind="stable")
+    cols_sorted = cols[order]
+    vals_mont = F.ints_to_mont_limbs([vals[i] for i in order])
+    want = np.asarray(be.sparse_rA_mont(
+        be.asarray(rows[order]), be.asarray(cols_sorted),
+        be.asarray(vals_mont), be.asarray(r_limbs), num_cols))
+
+    blocks = list(be.sparse_rA_mont_blocked(
+        be.asarray(rows[order]), be.asarray(cols_sorted),
+        be.asarray(vals_mont.astype(np.uint16)),
+        be.asarray(r_limbs.astype(np.uint16)), num_cols, block_cols,
+        cols_sorted))
+    got = np.concatenate([np.asarray(b) for b in blocks], axis=0)
+    assert got.shape[0] == 5 * block_cols
+    assert np.array_equal(want, got[:num_cols])
+    assert not got[num_cols:].any()          # padded columns fold to zero
+    assert not got[512:768].any()            # the empty block is zeros
+
+
+def test_r_a_coeff_rows_blocked_path_matches_host():
+    """Force the blocked device path in _r_a_coeff_rows (shrunken device
+    budget) and bit-compare the resulting coefficient rows against the
+    unconstrained device path and the numpy host path."""
+    from ligero_tpu.engine.backend import Backend
+    from ligero_tpu.engine.devmatrix import RowChunkedMatrix
+    from ligero_tpu.ligero import LigeroCircuit
+    from ligero_tpu.synthetic import generate_random_circuit
+
+    c, outputs, _ = generate_random_circuit(F, 600, num_vars=16, seed=13)
+    seed = SEEDS[1]
+    lj = LigeroCircuit(c, outputs, backend=get_backend(F, use_jax=True))
+    want = np.asarray(lj._r_a_coeff_rows(seed))
+
+    lb = LigeroCircuit(c, outputs, backend=get_backend(F, use_jax=True))
+    four_mk = 4 * lb.m * lb.k
+    # make fits_device false but fits_blocked true for this four_mk
+    budget = (four_mk * F.num_limbs * 4 - 1) // 6
+    old = Backend.MAX_DEVICE_BYTES
+    try:
+        Backend.MAX_DEVICE_BYTES = budget
+        got = lb._r_a_coeff_rows(seed)
+    finally:
+        Backend.MAX_DEVICE_BYTES = old
+    assert isinstance(got, RowChunkedMatrix)
+    got_np = np.concatenate(
+        [np.asarray(ch, np.uint32) for ch in got.chunks], axis=0)[:4 * lb.m]
+    assert np.array_equal(want.reshape(4 * lb.m, lb.k, -1), got_np)
+
+    ln = LigeroCircuit(c, outputs, backend=get_backend(F, use_jax=False))
+    host = np.asarray(ln._r_a_coeff_rows(seed), np.uint32)
+    assert np.array_equal(want.reshape(host.shape), host)

@@ -19,7 +19,9 @@ F = BN254_FR
 def test_split_n():
     assert split_n(1024) == (32, 32)
     assert split_n(2048) == (64, 32)
-    assert split_n(4096) == (64, 64)
+    # round-5 flip: tallest admissible n1 (mxu_factors_ab.json —
+    # (128, 32) 103.0M points/s vs (64, 64) 95.0M on-chip)
+    assert split_n(4096) == (128, 32)
     assert split_n(8192) == (128, 64)
     assert split_n(16384) == (128, 128)
 
