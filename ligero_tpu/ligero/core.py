@@ -1259,13 +1259,21 @@ class LigeroCircuit:
     def _column_leaves(self, u_canon: np.ndarray) -> list[bytes]:
         """Column leaf digests of U (canonical limbs): the default params'
         Blake2s fast path, or whatever column hasher ``mt_params``
-        supplies (reference types.rs genericity)."""
+        supplies (reference types.rs genericity).  Params exposing
+        ``device_col_digests`` (e.g. LigeroMTPoseidonParams) hash on the
+        device — including streamed/chunked sources, which lifts the
+        round-4 host-only restriction."""
+        dev = getattr(self.mt_params, "device_col_digests", None)
+        if dev is not None and self.backend.use_jax:
+            out = dev(self.backend, u_canon)
+            if out is not None:
+                return out
         if isinstance(u_canon, StreamedCodewords):
             raise ValueError(
-                "custom mt_params run the commitment on the host and need "
+                "these mt_params run the commitment on the host and need "
                 "a materialized codeword matrix; this circuit exceeds the "
-                "device residency budget (streaming commit supports only "
-                "the default Blake2s/SHA-256 params)")
+                "device residency budget (streaming commit needs the "
+                "default Blake2s/SHA-256 params or a device column hasher)")
         u_canon = np.asarray(self.backend.to_numpy(u_canon))
         if not self._mt_default:
             mt, field = self.mt_params, self.field
@@ -1733,8 +1741,18 @@ class LigeroCircuit:
             return False
         with phase_timer.phase("v.col_openings"):
             mt = self.mt_params
-            for col, idx, path in zip(columns, indices, paths):
-                leaf = mt.col_hash(self.field, col)
+            leaves = None
+            dev = getattr(mt, "device_col_digests", None)
+            if (dev is not None and self.backend.use_jax
+                    and len(columns) * self.num_rows >= (1 << 15)):
+                # batched device recompute of the opened-column digests
+                # (t independent sponges); bit-identical to col_hash
+                cols = self._columns_limbs(columns, self.num_rows)
+                leaves = dev(self.backend, cols)
+            for i, (col, idx, path) in enumerate(zip(columns, indices,
+                                                     paths)):
+                leaf = leaves[i] if leaves is not None \
+                    else mt.col_hash(self.field, col)
                 if path.leaf_index != idx or not path.verify(
                         u_root, leaf, two_to_one=mt.two_to_one):
                     return False

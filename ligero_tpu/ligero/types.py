@@ -77,6 +77,22 @@ class LigeroMTPoseidonParams:
     def leaf_hash(self, leaf: bytes) -> bytes:
         return leaf
 
+    # -- device fast path (round 5) ---------------------------------------
+    def device_col_digests(self, backend, u_source):
+        """Batched device column digests (engine.poseidon_cols) — the
+        column sponges are independent, so the whole absorb runs as
+        Montgomery limb ops on a (3, n, L) state tensor.  Returns the
+        digest list, or None when no device backend is available (the
+        host per-column loop remains the golden path; bit-identical —
+        tested).  Lifts the round-4 host-only restriction so this
+        commitment proves at 2^16+ and in streaming mode."""
+        if not getattr(backend, "use_jax", False):
+            return None
+        from ..engine.poseidon_cols import get_poseidon_columns
+        from ..sponge import test_poseidon_config
+        kern = get_poseidon_columns(backend, test_poseidon_config(self.field))
+        return kern.digests(u_source)
+
 
 def is_default_mt_params(params) -> bool:
     """True iff ``params`` is the stock Blake2s/SHA-256 configuration
