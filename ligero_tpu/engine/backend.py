@@ -208,6 +208,18 @@ class Backend:
         return self._jit16(("fft", n, coeffs.shape),
                            lambda x: self._fft_padded(x, n))(coeffs)
 
+    def _concat_rows_dev(self, parts):
+        """Concatenate same-shape per-chunk device results along axis 0
+        in ONE dispatch and return the device array — a per-chunk
+        ``to_numpy`` costs a full tunnel round trip EACH (46 chunks at
+        2^21 ≈ seconds of pure RTT in the round-4 gather/ntt_cols)."""
+        if len(parts) == 1:
+            return parts[0]
+        fn = self._jit(("concat_rows", len(parts), tuple(parts[0].shape),
+                        tuple(parts[-1].shape)),
+                       lambda *xs: self.xp.concatenate(xs, axis=0))
+        return fn(*parts)
+
     def _use_mxu_spot(self, n: int, t: int) -> bool:
         """Direct MXU evaluation at the t opened columns instead of full
         n-point NTTs (mxu_spot.py): a dense (rows, k) x (k, t) int8 limb
@@ -251,10 +263,10 @@ class Backend:
             jdev = self.asarray(js)
             if isinstance(coeffs, RowChunkedMatrix):
                 w7 = self._spot_weights_dev(coeffs.n, n, jdev)
-                parts = [self.to_numpy(self._spot_block16(c, w7, n, False))
+                parts = [self._spot_block16(c, w7, n, False)
                          for c in coeffs.chunks]
-                return np.concatenate(
-                    parts, axis=0)[:coeffs.rows].astype(np.uint32)
+                out = self.to_numpy(self._concat_rows_dev(parts))
+                return out[:coeffs.rows].astype(np.uint32)
             B, k, L = coeffs.shape
             w7 = self._spot_weights_dev(k, n, jdev)
             # row chunks bound the per-dispatch limb-plane transients
@@ -268,9 +280,10 @@ class Backend:
                     blk = xp0.concatenate(
                         [blk, xp0.zeros((chunk - rows,) + tuple(blk.shape[1:]),
                                         blk.dtype)])
-                res = self._spot_block16(self.asarray(blk), w7, n, False)
-                parts.append(self.to_numpy(res)[:rows])
-            return np.concatenate(parts, axis=0).astype(np.uint32)
+                parts.append(self._spot_block16(self.asarray(blk), w7, n,
+                                                False))
+            out = self.to_numpy(self._concat_rows_dev(parts))
+            return out[:B].astype(np.uint32)
         if isinstance(coeffs, RowChunkedMatrix):
             jdev = self.asarray(js)
 
@@ -278,10 +291,11 @@ class Backend:
                 ev = self._fft_padded(x, n)
                 return self.xp.take(ev, j, axis=1).astype(np.uint16)
 
-            parts = [self.to_numpy(self._jit16(
-                ("fft_cols_rcm", n, c.shape, len(js)), run_rcm)(c, jdev))
+            parts = [self._jit16(
+                ("fft_cols_rcm", n, c.shape, len(js)), run_rcm)(c, jdev)
                 for c in coeffs.chunks]
-            return np.concatenate(parts, axis=0)[:coeffs.rows].astype(np.uint32)
+            out = self.to_numpy(self._concat_rows_dev(parts))
+            return out[:coeffs.rows].astype(np.uint32)
         B, _, L = coeffs.shape
         jdev = self.asarray(js)
 
@@ -692,10 +706,10 @@ class Backend:
                 # REDC step count) — replaces the full per-chunk
                 # re-encode; bit-identical (tested)
                 w7 = self._spot_weights_dev(k, n, jdev)
-                parts = [self.to_numpy(self._spot_block16(c, w7, n, True))
+                parts = [self._spot_block16(c, w7, n, True)
                          for c in u_canon.coeffs.chunks]
-                return np.concatenate(
-                    parts, axis=0)[:u_canon.rows].astype(np.uint32)
+                out = self.to_numpy(self._concat_rows_dev(parts))
+                return out[:u_canon.rows].astype(np.uint32)
             # re-encode each coefficient chunk (the SAME executable the
             # streaming commit compiled) and keep only the opened columns:
             # one (chunk, n, L) codeword transient at a time
@@ -703,17 +717,18 @@ class Backend:
                 ("stream_gather_cols", u_canon.coeffs.chunks[0].shape[0],
                  n, len(js)),
                 lambda canon, j: xp.take(canon, j, axis=1).astype(np.uint16))
-            parts = [self.to_numpy(take(self._stream_encode(c, k, n), jdev))
+            parts = [take(self._stream_encode(c, k, n), jdev)
                      for c in u_canon.coeffs.chunks]
-            return np.concatenate(parts, axis=0)[:u_canon.rows].astype(np.uint32)
+            out = self.to_numpy(self._concat_rows_dev(parts))
+            return out[:u_canon.rows].astype(np.uint32)
         if isinstance(u_canon, RowChunkedMatrix):
             xp = self.xp
             jdev = self.asarray(js.astype(np.int32))
             # indices traced, not baked: fresh indices every proof
             take = self._jit(("rcm_take", u_canon.chunks[0].shape, len(js)),
                              lambda c, j: xp.take(c, j, axis=1).astype(np.uint16))
-            parts = [self.to_numpy(take(c, jdev)) for c in u_canon.chunks]
-            out = np.concatenate(parts, axis=0)[:u_canon.rows]
+            parts = [take(c, jdev) for c in u_canon.chunks]
+            out = self.to_numpy(self._concat_rows_dev(parts))[:u_canon.rows]
             return out.astype(np.uint32)
         if self.use_jax and not isinstance(u_canon, np.ndarray):
             jdev = self.xp.asarray(js.astype(np.int32))
