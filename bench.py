@@ -136,6 +136,15 @@ def _attach_recorded(result: dict) -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     for key, names in (("last_tpu_headline", ("bench_tpu_last.json",)),
                        ("fixtures", ("bench_configs.json",)),
+                       ("at_scale_2pow20_r5", ("atscale_20_r5.json",)),
+                       ("cache_hit_cold_2pow21", ("atscale_21_r5_cachehit.json",)),
+                       ("cache_hit_cold_2pow22", ("atscale_22_r5_cachehit.json",)),
+                       ("zk_2pow20", ("atscale_zk20_r5.json",)),
+                       ("zk_2pow21", ("atscale_zk21_r5.json",)),
+                       ("poseidon_mt_at_scale", ("poseidon_mt_r5.json",)),
+                       ("spot_eval_ab", ("spot_ab_r5.json",)),
+                       ("mxu_factors_ab", ("mxu_factors_ab.json",)),
+                       ("headline_pipelined", ("headline_pipelined_r5.json",)),
                        ("at_scale", ("atscale_r4e.json",
                                      "atscale_r4.json",
                                      "atscale_r3_final.json",
@@ -149,10 +158,12 @@ def _attach_recorded(result: dict) -> None:
                                             "atscale_r2g.json",
                                             "atscale_r2d.json")),
                        ("cold_start", ("atscale_r3_cold.json",)),
-                       ("at_scale_2pow21", ("atscale_21_r4e.json",
+                       ("at_scale_2pow21", ("atscale_21_r5.json",
+                                            "atscale_21_r4e.json",
                                             "atscale_21_r4.json",
                                             "atscale_r3_2pow21.json")),
-                       ("at_scale_2pow22", ("atscale_22_r4e.json",
+                       ("at_scale_2pow22", ("atscale_22_r5.json",
+                                            "atscale_22_r4e.json",
                                             "atscale_22_r4.json")),
                        ("at_scale_sync_attribution", ("atscale_sync_r4f.json",
                                                       "atscale_r3_sync.json")),
