@@ -1208,18 +1208,26 @@ class Backend:
 
         Bit-identical to :func:`ligero_tpu.sampling.rand_field_elements_limbs`
         (same ChaCha20 stream, same rejection order — tested).  Returns a
-        device ``(count, L)`` limb array (uint32, or uint16 with
-        ``narrow=True`` — same values, half the HBM; the 2^22-scale path
-        needs it to stay under the single-buffer corruption bound), or
-        ``None`` on attempt shortfall (probability hundreds of sigma
-        below mean; the caller falls back to the host sampler,
-        preserving exactness)."""
-        from .devsampler import fr_sample_device
+        device ``(count, L)`` uint32 limb array — or, with
+        ``narrow=True``, a LIMB-MAJOR ``(L, count)`` uint16 array from
+        the word-major sampler (same values; half the HBM and layouts
+        that avoid the (attempts, 8) lane-padding OOM at 2^22 — see
+        devsampler.fr_sample_device_wordmajor).  ``None`` on attempt
+        shortfall (probability hundreds of sigma below mean) or when the
+        narrow layout doesn't support the field's limb count; callers
+        fall back to the host sampler, preserving exactness."""
+        from .devsampler import fr_sample_device, fr_sample_device_wordmajor
         key = np.frombuffer(seed, dtype="<u4").astype(np.uint32)
-        fn = self._jit(("fr_sample", count, narrow),
-                       lambda kw: fr_sample_device(self.xp, self.field,
-                                                   kw, count,
-                                                   out_u16=narrow))
+        if narrow:
+            if 2 * self.field.num_u64_limbs != 8:
+                return None
+            fn = self._jit(("fr_sample_wm", count),
+                           lambda kw: fr_sample_device_wordmajor(
+                               self.xp, self.field, kw, count))
+        else:
+            fn = self._jit(("fr_sample", count),
+                           lambda kw: fr_sample_device(self.xp, self.field,
+                                                       kw, count))
         limbs, accepted = fn(self.asarray(key))
         if int(accepted) < count:
             return None
@@ -1321,12 +1329,16 @@ class Backend:
         four kernel shapes ever compile, regardless of per-block density
         skew (the w-section blocks of A carry most of the mass)."""
         xp = self.xp
-        L = r_mont.shape[-1]
+        L = self.field.num_limbs
         y0 = self.field.ints_to_limbs([self.field.to_mont(1)])[0]
         y1 = self.field.ints_to_limbs([self.field.to_mont(1 << 16)])[0]
 
         def raw_sums_blk(vals, rids, cids, c0, r):
-            gathered = xp.take(r, rids, axis=0).astype(np.uint32)
+            # r is LIMB-MAJOR (L, count) u16 (the word-major sampler's
+            # layout); the gathered entry chunk is small, so the
+            # transpose back to entry-major costs nothing
+            gathered = xp.transpose(xp.take(r, rids, axis=1),
+                                    (1, 0)).astype(np.uint32)
             vals = vals.astype(np.uint32)
             if self.use_pallas_ntt:
                 from .pallas_kernels import mont_mul_pallas

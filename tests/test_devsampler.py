@@ -88,14 +88,31 @@ def test_prove_uses_device_path_and_matches_numpy_proof():
     assert ln.verify(pj, test_sponge(F))
 
 
-@pytest.mark.parametrize("count", [5, 20000])
-def test_fr_sample_device_u16_matches_u32(count):
-    """narrow output (the 2^22-scale path): same values, uint16 dtype."""
-    key = key_words_from_seed(SEEDS[2]).astype(np.uint32)
-    want, _ = fr_sample_device(np, F, key, count)
-    got, accepted = fr_sample_device(np, F, key, count, out_u16=True)
-    assert got.dtype == np.uint16 and int(accepted) >= count
-    assert np.array_equal(want, got.astype(np.uint32))
+@pytest.mark.parametrize("count", [1, 5, 20000])
+def test_fr_sample_device_wordmajor_matches_rowmajor(count):
+    """The word-major 2^22-scale sampler (limb-major uint16 output,
+    layouts chosen to avoid the (attempts, 8) lane-padding OOM) draws
+    the identical stream: values equal the row-major sampler's."""
+    from ligero_tpu.engine.devsampler import fr_sample_device_wordmajor
+    for seed in SEEDS:
+        key = key_words_from_seed(seed).astype(np.uint32)
+        want, _ = fr_sample_device(np, F, key, count)
+        got, accepted = fr_sample_device_wordmajor(np, F, key, count)
+        assert got.dtype == np.uint16 and int(accepted) >= count
+        assert got.shape == (F.num_limbs, count)
+        assert np.array_equal(want, got.T.astype(np.uint32))
+
+
+def test_rand_field_mont_narrow_jax_cpu():
+    be = get_backend(F, use_jax=True)
+    want = rand_field_elements_limbs(F, 4096, SEEDS[1])
+    got = be.rand_field_mont(4096, SEEDS[1], narrow=True)
+    assert got is not None and got.shape == (F.num_limbs, 4096)
+    assert np.array_equal(want, np.asarray(got).T)
+    # unsupported limb width -> None (host fallback)
+    from ligero_tpu.fields import BLS12_377_FQ
+    be_bls = get_backend(BLS12_377_FQ, use_jax=True)
+    assert be_bls.rand_field_mont(64, SEEDS[1], narrow=True) is None
 
 
 def test_sparse_rA_blocked_matches_unblocked():
@@ -123,7 +140,8 @@ def test_sparse_rA_blocked_matches_unblocked():
     blocks = list(be.sparse_rA_mont_blocked(
         be.asarray(rows[order]), be.asarray(cols_sorted),
         be.asarray(vals_mont.astype(np.uint16)),
-        be.asarray(r_limbs.astype(np.uint16)), num_cols, block_cols,
+        be.asarray(np.ascontiguousarray(r_limbs.T).astype(np.uint16)),
+        num_cols, block_cols,
         cols_sorted))
     got = np.concatenate([np.asarray(b) for b in blocks], axis=0)
     assert got.shape[0] == 5 * block_cols
