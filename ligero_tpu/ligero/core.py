@@ -50,6 +50,12 @@ from .proof import (
 DEFAULT_SECURITY_LEVEL = 128  # reference src/lib.rs:8
 CHACHA_SEED_BYTES = 32        # reference src/lib.rs:9
 
+# Largest device buffer the zk blind assembles in one piece (backend
+# single-buffer safety, see Backend.MAX_DEVICE_BYTES); past it the blind
+# returns a RowChunkedMatrix.  Module-level so tests can shrink it to
+# force the chunked path on small fixtures.
+ZK_SINGLE_BUFFER_BYTES = 3 << 29
+
 
 def _resident_budget() -> int:
     """HBM bytes the prover may pin in device-resident matrices
@@ -1015,7 +1021,8 @@ class LigeroCircuit:
             out[i:i + r] = be.to_numpy(be.intt(blk, k))[:r]
         return out
 
-    def _zk_blind_rows_device(self, preenc, sub_seed, mask3: np.ndarray):
+    def _zk_blind_rows_device(self, preenc, sub_seed, mask3: np.ndarray,
+                              allow_chunked: bool = False):
         """Blinding + committed-row assembly fully on-device.
 
         Equivalent to the host path in :meth:`_prove_inner_zk` (same
@@ -1024,11 +1031,24 @@ class LigeroCircuit:
         proofs are byte-identical (tested).  Returns
         ``(coeffs (4m, k+b, L), rows (4m+3, d2, L))`` Montgomery device
         arrays, or None on sampler attempt shortfall (callers fall back
-        to the host path, preserving exactness)."""
+        to the host path, preserving exactness).
+
+        ``allow_chunked``: when the assembled (4m+3, d2, L) row matrix
+        exceeds the single-buffer bound (2^20 zk: 2.15 GB — the round-4
+        gate fell back to a page-faulting host assembly costing ~47 s
+        warm PLUS per-proof coeffs re-uploads), return ``rows`` as a
+        device :class:`RowChunkedMatrix` instead (``_zk_encode_streamed``
+        consumes it chunk-wise; ``coeffs`` stays one device buffer)."""
         be, field = self.backend, self.field
         m, k, b, d2 = self.m, self.k, self.blind_t, self.d2
         L = field.num_limbs
         rows4 = 4 * m
+        rows_bytes = self.num_rows * d2 * L * 4
+        single = rows_bytes <= ZK_SINGLE_BUFFER_BYTES
+        if not single and (not allow_chunked
+                           or rows4 * (k + b) * L * 4 > ZK_SINGLE_BUFFER_BYTES
+                           or rows_bytes * 2 > _resident_budget()):
+            return None
         s_dev = be.rand_field_mont(rows4 * b, sub_seed(b"rows"))
         if s_dev is None:
             return None
@@ -1049,22 +1069,62 @@ class LigeroCircuit:
                 parts.append(be.intt(blk, k)[:r])
             msg = xp.concatenate(parts, axis=0)
 
-        def assemble(msg_, s_, mask3_):
+        def blind(msg_, s_):
             s3 = s_.reshape(rows4, b, L)
             # u_i = msg_i + (x^k - 1) s_i: +x^k s occupies [k, k+b) and
             # -s occupies [0, b) — the regions overlap when b > k (small
             # instances), so subtract from the concatenated layout, exactly
             # like the host path's in-place slice arithmetic
             arr = xp.concatenate([msg_, s3], axis=1)
-            coeffs_ = xp.concatenate(
+            return xp.concatenate(
                 [be.fk.sub(arr[:, :b], s3), arr[:, b:]], axis=1)
-            pad = xp.zeros((rows4, d2 - (k + b), L), np.uint32)
-            rows_ = xp.concatenate(
-                [xp.concatenate([coeffs_, pad], axis=1), mask3_], axis=0)
-            return coeffs_, rows_
 
-        fn = be._jit(("zk_blind_dev", rows4, k, b, d2), assemble)
-        return fn(msg, s_dev, be.asarray(mask3))
+        if single:
+            def assemble(msg_, s_, mask3_):
+                coeffs_ = blind(msg_, s_)
+                pad = xp.zeros((rows4, d2 - (k + b), L), np.uint32)
+                rows_ = xp.concatenate(
+                    [xp.concatenate([coeffs_, pad], axis=1), mask3_], axis=0)
+                return coeffs_, rows_
+
+            fn = be._jit(("zk_blind_dev", rows4, k, b, d2), assemble)
+            return fn(msg, s_dev, be.asarray(mask3))
+
+        coeffs_dev = be._jit(("zk_blind_coeffs", rows4, k, b),
+                             blind)(msg, s_dev)
+        mask3_dev = be.asarray(mask3)
+        cr = max(8, Backend.MAX_DEVICE_BYTES // (self.n * L * 4))
+        total = self.num_rows
+
+        def row_chunk(c_blk, m_blk, c_rows: int, m_rows: int):
+            # one (cr, d2, L) chunk: width-padded coeffs rows, then mask
+            # rows, then zero-row padding — identical values to the
+            # single-buffer assembly's row range
+            pieces = []
+            if c_rows:
+                pieces.append(xp.concatenate(
+                    [c_blk, xp.zeros((c_rows, d2 - (k + b), L),
+                                     np.uint32)], axis=1))
+            if m_rows:
+                pieces.append(m_blk)
+            pad = cr - c_rows - m_rows
+            if pad:
+                pieces.append(xp.zeros((pad, d2, L), np.uint32))
+            return xp.concatenate(pieces, axis=0)
+
+        chunks = []
+        for i in range(0, total, cr):
+            hi = min(i + cr, total)
+            ce = max(0, min(hi, rows4) - i)
+            ms0, ms1 = max(i, rows4) - rows4, max(hi, rows4) - rows4
+            fn = be._jit(("zk_rows_chunk", cr, d2, ce, ms1 - ms0),
+                         lambda cb, mb, _c=ce, _m=ms1 - ms0:
+                         row_chunk(cb, mb, _c, _m))
+            chunks.append(fn(coeffs_dev[i:i + ce] if ce else
+                             coeffs_dev[:0],
+                             mask3_dev[ms0:ms1] if ms1 > ms0 else
+                             mask3_dev[:0]))
+        return coeffs_dev, RowChunkedMatrix(chunks, total, cr)
 
     def _zk_encode_streamed(self, rows_coeffs: np.ndarray):
         """Coefficient rows -> canonical n-point codewords, row-chunked.
@@ -1075,6 +1135,21 @@ class LigeroCircuit:
         (k+3t)-wide blinded coefficient rows stay device-resident and the
         streaming commit re-encodes row chunks on demand."""
         be, n = self.backend, self.n
+        if isinstance(rows_coeffs, RowChunkedMatrix):
+            # chunked device assembly (the 2^20+ zk blind): encode each
+            # (cr, d2, L) chunk — chunk rows were sized by the n-wide
+            # transient at assembly time.  The source chunks are consumed
+            # destructively (popped) so the d2-wide blind buffers free as
+            # the n-wide codeword chunks materialize: peak HBM is
+            # max(blind, codewords) + one transient, not their sum — the
+            # zk prover never reads the assembled rows again.
+            chunks = []
+            src = rows_coeffs.chunks
+            rows_coeffs.chunks = []
+            while src:
+                chunks.append(be.narrow16(be.ntt_and_canon(src.pop(0), n)))
+            return RowChunkedMatrix(chunks, rows_coeffs.rows,
+                                    rows_coeffs.chunk_rows)
         rows, w, L = rows_coeffs.shape
         if not be.use_jax or rows * n * L * 4 <= Backend.MAX_DEVICE_BYTES:
             out = be.ntt_and_canon(rows_coeffs, n)
@@ -1148,15 +1223,16 @@ class LigeroCircuit:
             mask3[1, :2 * k + b - 1] = field.ints_to_mont_limbs(maskq)
             mask3[2, :2 * (k + b) - 1] = field.ints_to_mont_limbs(maskp)
 
-            # blinding + row assembly on-device when the assembled row
-            # matrix is comfortably within one-buffer safety (round-3
-            # VERDICT item 4: the host blind was minutes of numpy +
-            # a full-matrix upload at scale); bit-identical to the host
-            # path (device sampler stream-compared in tests)
+            # blinding + row assembly on-device (round-3 VERDICT item 4:
+            # the host blind was minutes of numpy + a full-matrix upload
+            # at scale); past the single-buffer bound the rows come back
+            # as a device RowChunkedMatrix (round-5: the 2^20 zk host
+            # fallback cost ~47 s warm).  Bit-identical to the host path
+            # (device sampler stream-compared in tests).
             coeffs = rows = None
-            rows_bytes = self.num_rows * self.d2 * L * 4
-            if be.use_jax and rows_bytes <= (3 << 29):  # 1.5 GB
-                dev = self._zk_blind_rows_device(preenc, sub_seed, mask3)
+            if be.use_jax:
+                dev = self._zk_blind_rows_device(preenc, sub_seed, mask3,
+                                                 allow_chunked=True)
                 if dev is not None:
                     coeffs, rows = dev
             if coeffs is None:
@@ -1175,6 +1251,8 @@ class LigeroCircuit:
 
         with phase_timer.phase("rs_encode"):
             u_canon = self._zk_encode_streamed(rows)      # (4m+3, n, L)
+            rows = None   # blind rows are never read again — free them
+                          # before the commit's transients land
 
         with phase_timer.phase("commit"):
             if be.use_jax and self._mt_default:
@@ -1326,6 +1404,17 @@ class LigeroCircuit:
         # buffers — use the native host sampler + chunked-resident iNTT
         fits_device = (four_mk * self.field.num_limbs * 4
                        <= 6 * Backend.MAX_DEVICE_BYTES)
+        if self.zk and four_mk * self.field.num_limbs * 4 \
+                > 2 * Backend.MAX_DEVICE_BYTES:
+            # zk instances carry the blinded coefficient matrix and the
+            # n-wide codeword chunks through this phase; the entry-major
+            # sampler's (attempts, 8) candidate transient lane-pads 16x
+            # on TPU (observed 6+ GB at 2^21), which OOMed zk 2^21 while
+            # plain 2^21 survived.  The word-major blocked route keeps
+            # every transient limb-major (no padding) and is
+            # bit-identical (tested) — prefer it under zk memory
+            # pressure even when the entry-major path would fit.
+            fits_device = False
         if be.use_jax and fits_device and self._device_coo(four_mk) is not None:
             # fully device-resident path: ChaCha20 expansion, gather,
             # mont products, per-column segment sums — no host work and
