@@ -139,7 +139,8 @@ def _attach_recorded(result: dict) -> None:
                        ("at_scale_2pow20_r5", ("atscale_20_r5.json",)),
                        ("cache_hit_cold_2pow21", ("atscale_21_r5_cachehit.json",)),
                        ("cache_hit_cold_2pow22", ("atscale_22_r5_cachehit.json",)),
-                       ("zk_2pow20", ("atscale_zk20_r5.json",)),
+                       ("zk_2pow20", ("atscale_zk20_r5b.json",
+                                      "atscale_zk20_r5.json",)),
                        ("zk_2pow21", ("atscale_zk21_r5.json",)),
                        ("poseidon_mt_at_scale", ("poseidon_mt_r5.json",)),
                        ("spot_eval_ab", ("spot_ab_r5.json",)),
@@ -179,7 +180,8 @@ def _attach_recorded(result: dict) -> None:
                        ("fourstep_ntt", ("fourstep_ntt_validation.json",)),
                        ("scaling_methodology", ("scaling.json",)),
                        ("scaling_attribution", ("scaling_attrib.json",)),
-                       ("core_pieces", ("core_pieces_r4f.json",
+                       ("core_pieces", ("core_pieces_r5.json",
+                                        "core_pieces_r4f.json",
                                         "core_pieces_r3b.json",
                                         "core_pieces.json")),
                        ("mxu_ntt", ("mxu_bench_r3.json",

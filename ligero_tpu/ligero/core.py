@@ -1045,6 +1045,12 @@ class LigeroCircuit:
         rows4 = 4 * m
         rows_bytes = self.num_rows * d2 * L * 4
         single = rows_bytes <= ZK_SINGLE_BUFFER_BYTES
+        if getattr(be, "mesh", None) is not None:
+            # mesh (sharded) backends consume the assembled rows through
+            # shard_map'd whole-array ops (_pad_rows etc.) — keep the
+            # single-buffer form there; their scale path shards rows
+            # instead of chunking them
+            allow_chunked = False
         if not single and (not allow_chunked
                            or rows4 * (k + b) * L * 4 > ZK_SINGLE_BUFFER_BYTES
                            or rows_bytes * 2 > _resident_budget()):
@@ -1404,7 +1410,8 @@ class LigeroCircuit:
         # buffers — use the native host sampler + chunked-resident iNTT
         fits_device = (four_mk * self.field.num_limbs * 4
                        <= 6 * Backend.MAX_DEVICE_BYTES)
-        if self.zk and four_mk * self.field.num_limbs * 4 \
+        if self.zk and getattr(be, "mesh", None) is None \
+                and four_mk * self.field.num_limbs * 4 \
                 > 2 * Backend.MAX_DEVICE_BYTES:
             # zk instances carry the blinded coefficient matrix and the
             # n-wide codeword chunks through this phase; the entry-major
@@ -1439,6 +1446,7 @@ class LigeroCircuit:
         fits_blocked = (four_mk * self.field.num_limbs * 2
                         <= 7 * Backend.MAX_DEVICE_BYTES)
         if (be.use_jax and not fits_device and fits_blocked
+                and getattr(be, "mesh", None) is None
                 and self._device_coo(four_mk) is not None):
             with phase_timer.phase("linear.expand"):
                 r_dev = be.rand_field_mont(four_mk, seed, narrow=True)
@@ -1494,9 +1502,12 @@ class LigeroCircuit:
             shaped = r_a_limbs.reshape(4 * self.m, self.k, -1)
             if not be.use_jax:
                 shaped = np.asarray(shaped, dtype=np.uint32)
-            if not fits_device and getattr(be, "resident_ok", False):
+            if not fits_device and getattr(be, "resident_ok", False) \
+                    and getattr(be, "mesh", None) is None:
                 # streaming scale: r-coefficient rows stay chunk-resident,
-                # row-aligned with the streamed u_coeffs chunks
+                # row-aligned with the streamed u_coeffs chunks (mesh
+                # backends excluded: their linear_combination_poly
+                # host-fetches r and shards it block-cyclically)
                 return be.intt_resident(shaped, self.k)
             return be.intt(shaped, self.k)
 
