@@ -499,18 +499,20 @@ class Backend:
         return (RowChunkedMatrix(coeff_chunks, rows, chunk),
                 RowChunkedMatrix(canon_chunks, rows, chunk))
 
-    def intt_resident(self, preenc: np.ndarray, k: int) -> RowChunkedMatrix:
+    def intt_resident(self, preenc: np.ndarray, k: int,
+                      n: int | None = None) -> RowChunkedMatrix:
         """iNTT_k of all rows into a device-resident chunked coefficient
         matrix, uploading the (host) message matrix in u16 chunks.
 
         The entry point of the streaming-commit path: only the 8x-smaller
         coefficient form ever lives in HBM; codeword chunks are re-derived
-        on demand (see :class:`StreamedCodewords`)."""
+        on demand (see :class:`StreamedCodewords`).  ``n``: the codeword
+        width consumers re-expand to (chunk sizing; 16k assumed absent)."""
         rows, k_, L = preenc.shape
         # chunk sized by the CODEWORD width n = rate_inv * k the consumers
         # re-expand to — keep it aligned with _stream_chunk_rows
         chunks = []
-        chunk = self._stream_chunk_rows(self.field, k)
+        chunk = self._stream_chunk_rows(self.field, k, n)
         for i in range(0, rows, chunk):
             blk = np.ascontiguousarray(preenc[i:i + chunk])
             r = blk.shape[0]
@@ -520,13 +522,18 @@ class Backend:
             chunks.append(self.narrow16(self.intt(blk, k)))
         return RowChunkedMatrix(chunks, rows, chunk)
 
-    def _stream_chunk_rows(self, field, k: int) -> int:
+    def _stream_chunk_rows(self, field, k: int,
+                           n: int | None = None) -> int:
         """Row-chunk size for the streaming paths: the re-expanded
         (chunk, n, L) codeword block must stay under the single-buffer
-        budget for the largest n any consumer uses (rate_inv * k; assume
-        <= 16k here and clamp).  Forced even so each chunk contributes a
-        whole number of 64-byte blocks per column to the streaming hash."""
-        n_max = 16 * k
+        budget for the largest n any consumer uses.  Callers that know
+        the circuit's actual codeword width pass ``n`` (every shipped
+        config has n = 8k, which doubles the chunk vs the conservative
+        16k assumption — at 2^22 that is 65 serialized NTT+absorb
+        dispatch pairs instead of 129); absent, assume 16k and clamp.
+        Forced even so each chunk contributes a whole number of 64-byte
+        blocks per column to the streaming hash."""
+        n_max = max(n or 16 * k, 2 * k)
         chunk = max(8, self.MAX_DEVICE_BYTES // (n_max * field.num_limbs * 4))
         return chunk & ~1
 

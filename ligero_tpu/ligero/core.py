@@ -978,7 +978,7 @@ class LigeroCircuit:
             # coefficient matrix stays resident; the commit hashes
             # re-encoded row chunks into per-column incremental Blake2s
             # states, and openings re-encode chunks to gather t columns
-            u_coeffs = be.intt_resident(preenc, k)
+            u_coeffs = be.intt_resident(preenc, k, self.n)
             return u_coeffs, StreamedCodewords(u_coeffs, n, four_m)
         self._encode_mode = "host-streamed"
         chunk = max(8, Backend.MAX_DEVICE_BYTES // (n * L * 4))
@@ -1452,7 +1452,7 @@ class LigeroCircuit:
                 r_dev = be.rand_field_mont(four_mk, seed, narrow=True)
             if r_dev is not None:
                 rowids, colids, vals_dev = self._device_coo(four_mk)
-                rb = be._stream_chunk_rows(self.field, self.k)
+                rb = be._stream_chunk_rows(self.field, self.k, self.n)
                 blocks = iter(be.sparse_rA_mont_blocked(
                     rowids, colids, vals_dev, r_dev, four_mk,
                     rb * self.k, self._a_coo_host_cols))
@@ -1508,7 +1508,7 @@ class LigeroCircuit:
                 # row-aligned with the streamed u_coeffs chunks (mesh
                 # backends excluded: their linear_combination_poly
                 # host-fetches r and shards it block-cyclically)
-                return be.intt_resident(shaped, self.k)
+                return be.intt_resident(shaped, self.k, self.n)
             return be.intt(shaped, self.k)
 
     def _device_coo(self, four_mk: int):

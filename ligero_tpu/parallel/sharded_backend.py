@@ -388,12 +388,13 @@ class ShardedBackend(Backend):
             host.shape, NamedSharding(self.mesh, spec),
             lambda idx: host[idx])
 
-    def intt_resident(self, preenc: np.ndarray, k: int) -> ShardedCoeffs:
+    def intt_resident(self, preenc: np.ndarray, k: int,
+                      n: int | None = None) -> ShardedCoeffs:
         """iNTT_k of all rows into mesh-resident block-cyclic chunks."""
         import jax
         from jax.sharding import PartitionSpec as P
         rows, k_, L = preenc.shape
-        c = self._cyclic_c(16 * k)
+        c = self._cyclic_c(max(n or 16 * k, 2 * k))
         dev = self._upload_cyclic(_host_fetch(preenc), c)
         J = dev.shape[1] // c
 
