@@ -1515,27 +1515,34 @@ class LigeroCircuit:
         """A's nonzeros as device arrays sorted by column (one-time upload),
         or None when the u32 segment-sum accumulator could overflow (max
         column multiplicity * 0xFFFF must fit u32; ~16 for the synthetic
-        and circom fixtures)."""
+        and circom fixtures).  The host sort + Montgomery conversion +
+        upload is a one-time per-process cost timed as
+        ``linear.coo_upload`` (cold-attribution: it rides the tunnel's
+        host->device path at protocol nnz scales)."""
         if not hasattr(self, "_a_coo_dev"):
-            rows, cols, vals = self._a_fast.to_coo()
-            rows, cols = np.asarray(rows, np.int32), np.asarray(cols, np.int32)
-            if np.bincount(cols, minlength=four_mk).max() >= (1 << 16):
-                self._a_coo_dev = None
-            else:
-                order = np.argsort(cols, kind="stable")
-                vals_mont = self.field.ints_to_mont_limbs(
-                    [vals[i] for i in order])
-                be = self.backend
-                cols_sorted = cols[order]
-                # host copy of the sorted column ids: the blocked 2^22
-                # path derives block entry ranges with one searchsorted
-                self._a_coo_host_cols = cols_sorted
-                # vals stay uint16 on device (halves the resident nnz
-                # buffer; the sparse kernels widen per entry chunk)
-                self._a_coo_dev = (
-                    be.asarray(rows[order]), be.asarray(cols_sorted),
-                    be.asarray(vals_mont.astype(np.uint16)))
+            with phase_timer.phase("linear.coo_upload"):
+                self._device_coo_build(four_mk)
         return self._a_coo_dev
+
+    def _device_coo_build(self, four_mk: int) -> None:
+        rows, cols, vals = self._a_fast.to_coo()
+        rows, cols = np.asarray(rows, np.int32), np.asarray(cols, np.int32)
+        if np.bincount(cols, minlength=four_mk).max() >= (1 << 16):
+            self._a_coo_dev = None
+            return
+        order = np.argsort(cols, kind="stable")
+        vals_mont = self.field.ints_to_mont_limbs(
+            [vals[i] for i in order])
+        be = self.backend
+        cols_sorted = cols[order]
+        # host copy of the sorted column ids: the blocked 2^22
+        # path derives block entry ranges with one searchsorted
+        self._a_coo_host_cols = cols_sorted
+        # vals stay uint16 on device (halves the resident nnz
+        # buffer; the sparse kernels widen per entry chunk)
+        self._a_coo_dev = (
+            be.asarray(rows[order]), be.asarray(cols_sorted),
+            be.asarray(vals_mont.astype(np.uint16)))
 
     def _prove_linear(self, u_coeffs, sponge):
         be = self.backend
