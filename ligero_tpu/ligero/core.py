@@ -1531,8 +1531,10 @@ class LigeroCircuit:
             self._a_coo_dev = None
             return
         order = np.argsort(cols, kind="stable")
-        vals_mont = self.field.ints_to_mont_limbs(
-            [vals[i] for i in order])
+        # convert THEN reorder: numpy fancy-indexing on the (nnz, L) limb
+        # array replaces an O(nnz) Python list comprehension (~50M
+        # elements at 2^22 — a large slice of linear.coo_upload)
+        vals_mont = self.field.ints_to_mont_limbs(vals)[order]
         be = self.backend
         cols_sorted = cols[order]
         # host copy of the sorted column ids: the blocked 2^22
