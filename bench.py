@@ -137,8 +137,10 @@ def _attach_recorded(result: dict) -> None:
     for key, names in (("last_tpu_headline", ("bench_tpu_last.json",)),
                        ("fixtures", ("bench_configs.json",)),
                        ("at_scale_2pow20_r5", ("atscale_20_r5.json",)),
-                       ("cache_hit_cold_2pow21", ("atscale_21_r5_cachehit.json",)),
-                       ("cache_hit_cold_2pow22", ("atscale_22_r5_cachehit.json",)),
+                       ("cache_hit_cold_2pow21", ("atscale_21_r5d_cachehit.json",
+                                                  "atscale_21_r5_cachehit.json",)),
+                       ("cache_hit_cold_2pow22", ("atscale_22_r5d_cachehit.json",
+                                                  "atscale_22_r5_cachehit.json",)),
                        ("zk_2pow20", ("atscale_zk20_r5b.json",
                                       "atscale_zk20_r5.json",)),
                        ("zk_2pow21", ("atscale_zk21_r5.json",)),
@@ -159,11 +161,13 @@ def _attach_recorded(result: dict) -> None:
                                             "atscale_r2g.json",
                                             "atscale_r2d.json")),
                        ("cold_start", ("atscale_r3_cold.json",)),
-                       ("at_scale_2pow21", ("atscale_21_r5.json",
+                       ("at_scale_2pow21", ("atscale_21_r5d.json",
+                                            "atscale_21_r5.json",
                                             "atscale_21_r4e.json",
                                             "atscale_21_r4.json",
                                             "atscale_r3_2pow21.json")),
-                       ("at_scale_2pow22", ("atscale_22_r5.json",
+                       ("at_scale_2pow22", ("atscale_22_r5d.json",
+                                            "atscale_22_r5.json",
                                             "atscale_22_r4e.json",
                                             "atscale_22_r4.json")),
                        ("at_scale_sync_attribution", ("atscale_sync_r4f.json",
